@@ -1,0 +1,213 @@
+"""Static configuration for the AP-VAST TPU engine.
+
+Covers the constructor parameter surface of the reference engines
+(Python/apvast.py:40-56 — 15 keyword parameters — and
+Matlab/ControlMethods/apVast.m:94-141 — 13 positional parameters) plus the
+behavioral toggles that the reference hides in module-level booleans
+(Python/apvast.py:6-7) and commented-out alternates
+(Matlab/ControlMethods/apVast.m:400-405, perceptualModel.m:41-42).
+
+Where the two reference implementations disagree, the variant enums below
+select between them; defaults follow ``Python/apvast.py`` because that is
+the parity target fixed by BASELINE.json.
+
+The dataclass is frozen and hashable so it can be a ``jax.jit`` static
+argument: all array shapes inside the engine derive from it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class ToeplitzVariant(enum.Enum):
+    """How statistics frames are read out of the weighted-response buffers.
+
+    PYTHON reproduces the scipy ``toeplitz(c, r)`` corner override in the
+    reference (Python/apvast.py:336-338): scipy overwrites ``r[0]`` with
+    ``c[0]``, so every frame *skips* the buffer sample at index
+    ``filter_length`` and there are ``N - J`` frames.
+
+    MATLAB reproduces Matlab/ControlMethods/apVast.m:422: contiguous
+    frames, ``N - J + 1`` of them, no skipped sample.
+    """
+
+    PYTHON = "python"
+    MATLAB = "matlab"
+
+
+class RegularizationVariant(enum.Enum):
+    """Where diagonal loading is applied before the joint diagonalization.
+
+    PYTHON: load only the dark-zone matrix B inside jdiag with a fixed
+    ``reg_b * I`` (Python/apvast.py:22-24 with
+    EXPERIMENTAL_REGULARIZATION=True).
+
+    PYTHON_NORM: the reference's inactive alternative
+    (Python/apvast.py:25-27): ``1e-8 * ||B||_2 * I`` on B only.
+
+    MATLAB: load both matrices before jdiag with norm-scaled terms —
+    bright ``1e-8 * ||R||`` and dark ``5e-3 * ||R||``
+    (Matlab/ControlMethods/apVast.m:552-569).
+    """
+
+    PYTHON = "python"
+    PYTHON_NORM = "python_norm"
+    MATLAB = "matlab"
+
+
+class WeightingNorm(enum.Enum):
+    """Normalization of the perceptual weighting curve per microphone.
+
+    UNIT_ONESIDED: divide the one-sided gain vector by its 2-norm
+    (Python/apvast.py:322-324 with EXPERIMENTAL_NORMALIZE_GAINS=True).
+
+    UNIT_SYMMETRIC: divide by the 2-norm of the full-length symmetric
+    curve (Matlab/ControlMethods/perceptualModel.m:177-190, selected at
+    apVast.m:400-404).
+
+    PRESSURE: scale by 20e-6 so the curve is centered around 1 instead of
+    20 uPa (perceptualModel.m:162-175, the commented-out MATLAB variant).
+
+    NONE: raw gains.
+    """
+
+    UNIT_ONESIDED = "unit_onesided"
+    UNIT_SYMMETRIC = "unit_symmetric"
+    PRESSURE = "pressure"
+    NONE = "none"
+
+
+class TargetFilterVariant(enum.Enum):
+    """Which delta filter produces the target (reference) playback path.
+
+    SHARED_A: one target filter built from ``reference_index_a`` and used
+    for both zones (Python/apvast.py:389-390,418,422).
+
+    PER_ZONE: separate zone filters from each zone's own reference index
+    (Matlab/ControlMethods/apVast.m:597-602).
+    """
+
+    SHARED_A = "shared_a"
+    PER_ZONE = "per_zone"
+
+
+class ThresholdMethod(enum.Enum):
+    """Threshold-of-hearing curve for the perceptual model
+    (Matlab/ControlMethods/interpolatedThresholdOfHearing.m:11-21)."""
+
+    ISO226_2003 = "iso226_2003"
+    PAINTER_2000 = "painter_2000"
+    NONE = "none"
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclasses.dataclass(frozen=True)
+class ApVastConfig:
+    """Hashable, jit-static description of an AP-VAST processing scene."""
+
+    # Scene geometry (static shapes; reference reads them off the RIR
+    # arrays at Python/apvast.py:97-99).
+    rir_length: int
+    num_srcs: int
+    num_mics: int
+
+    # WOLA / filter-design parameters (Python/apvast.py:40-56).
+    block_size: int = 1600
+    filter_length: int = 100
+    modeling_delay: int = 20
+    reference_index_a: int = 0
+    reference_index_b: int = 0
+    num_eigenvectors: int = 1
+    mu: float = 1.0
+    statistics_buffer_length: int = 1000
+    hop_size: int | None = None
+    sampling_rate: int = 48000
+    run_a: bool = True
+    run_b: bool = True
+    perceptual: bool = True
+
+    # Numerics.
+    dtype: str = "float64"
+    # Behavioral variants (defaults = Python/apvast.py semantics).
+    toeplitz_variant: ToeplitzVariant = ToeplitzVariant.PYTHON
+    regularization: RegularizationVariant = RegularizationVariant.PYTHON
+    reg_b: float = 1e-7  # Python/apvast.py:23
+    bright_loading: float = 1e-8  # Matlab/ControlMethods/apVast.m:556
+    dark_loading: float = 5e-3  # Matlab/ControlMethods/apVast.m:555
+    normalize_statistics: bool = False  # True => apVast.m:448-456 scaling
+    weighting_norm: WeightingNorm = WeightingNorm.UNIT_ONESIDED
+    target_filter: TargetFilterVariant = TargetFilterVariant.SHARED_A
+    threshold_method: ThresholdMethod = ThresholdMethod.ISO226_2003
+    # 0 dBFS <-> this many dB SPL (Matlab/main.m:44 uses 94).
+    pressure_scale_db_spl: float = 94.0
+    # Scale of the deterministic noise init of the response buffers
+    # (Python/apvast.py:122-129 uses unseeded 1e-3*randn; here the noise is
+    # drawn from an explicit PRNG key at init_state time).
+    noise_init_scale: float = 1e-3
+
+    def __post_init__(self) -> None:
+        if self.block_size % 2 != 0:
+            raise ValueError("block_size must be even")  # apvast.py:86-87
+        if self.hop_size is not None and not 0 < self.hop_size <= self.block_size:
+            raise ValueError("hop_size must lie in (0, block_size]")
+        if self.statistics_buffer_length <= self.filter_length:
+            raise ValueError(
+                "statistics_buffer_length must exceed filter_length"
+            )
+        if not 0 <= self.reference_index_a < self.num_srcs:
+            raise ValueError("reference_index_a out of range")
+        if not 0 <= self.reference_index_b < self.num_srcs:
+            raise ValueError("reference_index_b out of range")
+        if self.num_eigenvectors > self.filter_length * self.num_srcs:
+            raise ValueError("num_eigenvectors exceeds JL")
+
+    # ---- derived static quantities -------------------------------------
+
+    @property
+    def hop(self) -> int:
+        """Effective hop size (Python/apvast.py:93)."""
+        return self.hop_size if self.hop_size is not None else self.block_size // 2
+
+    @property
+    def num_bins(self) -> int:
+        """One-sided WOLA spectrum length."""
+        return self.block_size // 2 + 1
+
+    @property
+    def jl(self) -> int:
+        """Dimension of the spatial correlation matrices (J * L)."""
+        return self.filter_length * self.num_srcs
+
+    @property
+    def num_frames(self) -> int:
+        """Columns of the statistics data matrix Y (see ToeplitzVariant)."""
+        n, j = self.statistics_buffer_length, self.filter_length
+        return n - j if self.toeplitz_variant is ToeplitzVariant.PYTHON else n - j + 1
+
+    @property
+    def fir_fft_size(self) -> int:
+        """FFT length for the streaming overlap-save RIR convolution."""
+        return _next_pow2(self.rir_length + self.hop - 1)
+
+    @property
+    def fir_history(self) -> int:
+        """Carried input-history length for the RIR convolution."""
+        return self.fir_fft_size - self.hop
+
+    @classmethod
+    def for_rirs(cls, rir_a, rir_b, **kwargs) -> "ApVastConfig":
+        """Build a config whose scene geometry matches a RIR pair with the
+        reference layout ``(rir_length, num_srcs, num_mics)``
+        (Python/apvast.py:97-99)."""
+        if rir_a.shape != rir_b.shape:
+            raise ValueError("rirs of unequal size")  # apvast.py:89-90
+        rl, ns, nm = rir_a.shape
+        return cls(rir_length=rl, num_srcs=ns, num_mics=nm, **kwargs)

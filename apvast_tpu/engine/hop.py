@@ -1,0 +1,243 @@
+"""The per-hop transition — the entire reference hot path as one pure jit.
+
+Mirrors ``process_input_buffers`` (Python/apvast.py:153-165 /
+Matlab/ControlMethods/apVast.m:221-245) stage for stage, with every
+per-mic / per-src Python loop of the reference turned into a batch axis:
+
+1. streaming RIR convolution  (ref: 306 lfilter calls  -> 1 batched FFT)
+2. weighted target update     (ref: per-mic rfft loops -> batched WOLA)
+3. weighted response update   (ref: per-mic rfft loops -> batched WOLA)
+4. statistics                 (ref: Toeplitz + GEMM    -> frames + einsum)
+5. GEVD + filter synthesis    (ref: schur per zone     -> vmapped eigh,
+                               rank loop -> cumulative sum)
+6. input block slide
+7. output synthesis           (ref: per-rank loop      -> rank batch)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from apvast_tpu.config import (
+    ApVastConfig,
+    RegularizationVariant,
+    ToeplitzVariant,
+)
+from apvast_tpu.engine.plan import ApVastPlan
+from apvast_tpu.engine.state import ApVastState
+from apvast_tpu.ops.framing import frame_buffer
+from apvast_tpu.ops.jdiag import jdiag_batched
+from apvast_tpu.ops.synthesis import variable_span_filters
+from apvast_tpu.ops.wola import (
+    slide,
+    wola_analyze,
+    wola_overlap_add,
+    wola_synthesize,
+)
+from apvast_tpu.perceptual.model import perceptual_gain
+
+# Path axis: 0=A->A, 1=A->B, 2=B->A, 3=B->B.
+_PATH_SIGNAL = (0, 0, 1, 1)  # which program signal drives the path
+_PATH_RIR = (0, 1, 0, 1)  # which zone's RIR set the path goes through
+_PATH_ZONE = (0, 1, 0, 1)  # destination zone == weighting zone
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HopOutputs:
+    """Per-hop loudspeaker feeds, each (num_eigenvectors, hop, srcs) —
+    the all-ranks output contract of the Python reference
+    (apvast.py:499-506). ``out_a``/``out_b`` are None for a disabled zone,
+    as in the reference (apvast.py:433-443)."""
+
+    out_a: jax.Array | None
+    out_b: jax.Array | None
+    out_a_t: jax.Array
+    out_b_t: jax.Array
+
+
+def _spectral_norm(mat: jax.Array) -> jax.Array:
+    """2-norm of a symmetric matrix (for the MATLAB loading variants,
+    apVast.m:552-569 and Python/apvast.py:25-27)."""
+    return jnp.max(jnp.abs(jnp.linalg.eigvalsh(mat)))
+
+
+def process_hop(
+    config: ApVastConfig,
+    plan: ApVastPlan,
+    state: ApVastState,
+    hop_a: jax.Array,
+    hop_b: jax.Array,
+    mic_axis: str | None = None,
+) -> tuple[ApVastState, HopOutputs]:
+    """One hop. ``mic_axis``: when running inside ``shard_map`` with the
+    microphone axis sharded over a mesh axis of that name, the statistics
+    accumulation psums partial (R, r) over it — the only cross-device
+    communication in the whole hop (survey §5 'distributed backend')."""
+    dtype = jnp.dtype(config.dtype)
+    hop, block = config.hop, config.block_size
+    nf = config.fir_fft_size
+    j, s, v = config.filter_length, config.num_srcs, config.num_eigenvectors
+    # Local microphone count: equals config.num_mics unless the mic axis
+    # is sharded (shard_map hands each device its mic block).
+    m = state.resp.shape[1]
+    win = plan.window
+
+    # ---- 1. streaming RIR convolution (ref apvast.py:167-194) ----------
+    hops = jnp.stack([hop_a, hop_b]).astype(dtype)  # (2, hop)
+    segments = jnp.concatenate([state.conv_history, hops], axis=-1)  # (2, nf)
+    seg_spec = jnp.fft.rfft(segments, axis=-1)  # (2, nf/2+1)
+
+    path_spec = (
+        plan.rir_spec[jnp.asarray(_PATH_RIR)]
+        * seg_spec[jnp.asarray(_PATH_SIGNAL)][:, None, None, :]
+    )  # (4, m, s, nf/2+1)
+    new_resp = jnp.fft.irfft(path_spec, n=nf, axis=-1)[..., nf - hop :]
+    tgt_path_spec = plan.target_rir_spec * seg_spec[:, None, :]  # (2, m, ·)
+    new_target = jnp.fft.irfft(tgt_path_spec, n=nf, axis=-1)[..., nf - hop :]
+
+    resp = slide(state.resp, new_resp)
+    target_resp = slide(state.target_resp, new_target)
+    conv_history = segments[:, hop:]
+
+    # ---- 2. weighted target signals (ref apvast.py:197-235) ------------
+    t_spec = wola_analyze(win, target_resp)  # (2, m, bins) complex
+    if config.perceptual:
+        weighting = perceptual_gain(
+            t_spec,
+            plan.cfmr_sq,
+            plan.cs,
+            plan.ca,
+            plan.leff,
+            plan.spectrum_scale,
+            config.weighting_norm,
+        )  # (2, m, bins) real
+    else:
+        weighting = jnp.ones(t_spec.shape, dtype=dtype)  # apvast.py:325-327
+
+    wt_spec = t_spec * weighting
+    new_wt = wola_synthesize(win, wt_spec, block)
+    wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
+    wtarget_stat = slide(state.wtarget_stat, wt_emit)
+
+    # ---- 3. weighted loudspeaker responses (ref apvast.py:237-311) -----
+    r_spec = wola_analyze(win, resp)  # (4, m, s, bins)
+    # Zone run flags gate by *signal*: paths 0,1 carry signal A, paths 2,3
+    # signal B (apvast.py:245-255). Static mask folds into the constants.
+    gate = jnp.asarray(
+        [float(config.run_a)] * 2 + [float(config.run_b)] * 2, dtype=dtype
+    )
+    r_spec = r_spec * gate[:, None, None, None]
+    r_spec = r_spec * weighting[jnp.asarray(_PATH_ZONE)][:, :, None, :]
+    new_wr = wola_synthesize(win, r_spec, block)
+    wresp_overlap, wr_emit = wola_overlap_add(state.wresp_overlap, new_wr, hop)
+    wresp_stat = slide(state.wresp_stat, wr_emit)
+
+    # ---- 4. statistics (ref apvast.py:329-364) -------------------------
+    frames = frame_buffer(wresp_stat, j, config.toeplitz_variant)
+    # (4, m, s, k, j) -> Y with rows = source-major reversed taps.
+    k = frames.shape[-2]
+    y = (
+        jnp.flip(frames, axis=-1)
+        .transpose(0, 1, 2, 4, 3)
+        .reshape(4, m, s * j, k)
+    )
+    r_mats = jnp.einsum("pmak,pmbk->pab", y, y, preferred_element_type=dtype)
+    d = wtarget_stat[..., -k:]  # (2, m, k) target alignment, both variants
+    r_vecs = jnp.einsum(
+        "zmak,zmk->za",
+        y[jnp.asarray([0, 3])],  # bright paths A->A and B->B
+        d,
+        preferred_element_type=dtype,
+    )  # (2, s*j)
+    if mic_axis is not None:
+        # Mic axis is sharded: the einsums above contracted only the local
+        # microphones; all-reduce the partial statistics over ICI.
+        r_mats = jax.lax.psum(r_mats, mic_axis)
+        r_vecs = jax.lax.psum(r_vecs, mic_axis)
+    if config.normalize_statistics:  # apVast.m:448-456
+        scale = 1.0 / (k * config.num_mics)  # global mic count
+        r_mats = r_mats * scale
+        r_vecs = r_vecs * scale
+
+    # ---- 5. GEVD + variable-span synthesis (ref apvast.py:378-422) -----
+    # Zone A pencil: (R_AA, R_AB); zone B pencil: (R_BB, R_BA).
+    a_stack = r_mats[jnp.asarray([0, 3])]
+    b_stack = r_mats[jnp.asarray([1, 2])]
+    eye = jnp.eye(s * j, dtype=dtype)
+
+    if config.regularization is RegularizationVariant.PYTHON:
+        reg = config.reg_b
+    elif config.regularization is RegularizationVariant.PYTHON_NORM:
+        norms = jax.vmap(_spectral_norm)(b_stack)
+        b_stack = b_stack + 1e-8 * norms[:, None, None] * eye
+        reg = 0.0
+    else:  # MATLAB diagonal loading on both matrices (apVast.m:552-569)
+        a_norms = jax.vmap(_spectral_norm)(a_stack)
+        b_norms = jax.vmap(_spectral_norm)(b_stack)
+        a_stack = a_stack + config.bright_loading * a_norms[:, None, None] * eye
+        b_stack = b_stack + config.dark_loading * b_norms[:, None, None] * eye
+        reg = 0.0
+
+    if not config.run_a:  # keep the disabled zone's pencil factorizable
+        a_stack = a_stack.at[0].set(eye)
+        b_stack = b_stack.at[0].set(eye)
+    if not config.run_b:
+        a_stack = a_stack.at[1].set(eye)
+        b_stack = b_stack.at[1].set(eye)
+
+    u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)
+    w_family = jax.vmap(variable_span_filters, in_axes=(0, 0, 0, None, None))(
+        u, lam, r_vecs, config.mu, v
+    )  # (2, v, jl)
+    zone_gate = jnp.asarray([float(config.run_a), float(config.run_b)], dtype=dtype)
+    w_family = w_family * zone_gate[:, None, None]
+
+    # w layout is source-major (w[s*j + tap]); reshape to (zone, v, s, j)
+    # == the reference's order='F' reshape (apvast.py:417).
+    filters = w_family.reshape(2, v, s, j)
+    filt_spec = jnp.fft.rfft(filters, n=block, axis=-1)  # (2, v, s, bins)
+
+    # ---- 6. slide input blocks (ref apvast.py:424-426) -----------------
+    input_blocks = slide(state.input_blocks, hops)
+    in_spec = wola_analyze(win, input_blocks)  # (2, bins)
+
+    # ---- 7. output synthesis (ref apvast.py:428-506) -------------------
+    out_spec = in_spec[:, None, None, :] * filt_spec
+    new_out = wola_synthesize(win, out_spec, block)
+    out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
+
+    t_out_spec = in_spec[:, None, :] * plan.target_filter_spec  # (2, s, bins)
+    new_t_out = wola_synthesize(win, t_out_spec, block)
+    target_out_overlap, t_emit = wola_overlap_add(
+        state.target_out_overlap, new_t_out, hop
+    )
+
+    # Emit (v, hop, srcs), target outputs broadcast over the rank axis to
+    # match the reference's per-rank duplicated target list
+    # (apvast.py:501-504).
+    out_vhs = out_emit.transpose(0, 1, 3, 2)  # (2, v, hop, s)
+    t_vhs = jnp.broadcast_to(t_emit.transpose(0, 2, 1)[:, None], (2, v, hop, s))
+
+    new_state = ApVastState(
+        conv_history=conv_history,
+        resp=resp,
+        target_resp=target_resp,
+        wresp_overlap=wresp_overlap,
+        wtarget_overlap=wtarget_overlap,
+        wresp_stat=wresp_stat,
+        wtarget_stat=wtarget_stat,
+        input_blocks=input_blocks,
+        out_overlap=out_overlap,
+        target_out_overlap=target_out_overlap,
+    )
+    outputs = HopOutputs(
+        out_a=out_vhs[0] if config.run_a else None,
+        out_b=out_vhs[1] if config.run_b else None,
+        out_a_t=t_vhs[0],
+        out_b_t=t_vhs[1],
+    )
+    return new_state, outputs

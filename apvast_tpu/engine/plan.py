@@ -1,0 +1,139 @@
+"""Precomputed constants of the AP-VAST engine.
+
+Everything the reference computes in its constructor that is *not* mutable
+state lands here: the WOLA window (Python/apvast.py:94), the target RIRs
+(modeling-delayed reference-speaker responses, apvast.py:101-112), the
+frequency-domain RIR kernels for the streaming convolution, the delta
+target playback filters (apvast.py:389-390, apVast.m:597-602) and the
+calibrated perceptual tables (perceptualModel.m:30-116).
+
+The plan is a pytree of device constants: it is passed to ``process_hop``
+as a regular (traced) argument so one compiled executable serves any RIR
+set with the same geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apvast_tpu.config import ApVastConfig, TargetFilterVariant
+from apvast_tpu.ops.wola import sine_window
+from apvast_tpu.perceptual.tables import build_perceptual_tables
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ApVastPlan:
+    """Device-resident constants; all leaves are arrays."""
+
+    # (block_size,) sine analysis/synthesis window.
+    window: jax.Array
+    # (2, num_mics, num_srcs, fir_fft_size // 2 + 1) complex kernel spectra
+    # of [rir_A, rir_B] — index by *destination zone*.
+    rir_spec: jax.Array
+    # (2, num_mics, fir_fft_size // 2 + 1) complex kernel spectra of the
+    # modeling-delayed target RIRs [target_A, target_B].
+    target_rir_spec: jax.Array
+    # (2, num_srcs, num_bins) complex spectra of the per-zone delta target
+    # playback filters.
+    target_filter_spec: jax.Array
+    # Perceptual tables (None when config.perceptual is False).
+    cfmr_sq: jax.Array | None
+    cs: jax.Array | None
+    ca: jax.Array | None
+    leff: jax.Array | None
+    spectrum_scale: jax.Array | None
+
+
+def _delayed_target_rir(rir: np.ndarray, ref_index: int, delay: int) -> np.ndarray:
+    """(rir_length, num_mics) target RIR: the reference speaker's response
+    delayed by the modeling delay (Python/apvast.py:101-112)."""
+    ref = rir[:, ref_index, :]  # (rir_length, num_mics)
+    out = np.zeros_like(ref)
+    out[delay:, :] = ref[: ref.shape[0] - delay, :]
+    return out
+
+
+def build_plan(
+    config: ApVastConfig, rir_a: np.ndarray, rir_b: np.ndarray
+) -> ApVastPlan:
+    """Precompute all engine constants for one scene.
+
+    ``rir_a`` / ``rir_b`` use the reference layout
+    ``(rir_length, num_srcs, num_mics)`` (Python/apvast.py:97-99).
+    """
+    expected = (config.rir_length, config.num_srcs, config.num_mics)
+    if rir_a.shape != expected or rir_b.shape != expected:
+        raise ValueError(
+            f"RIR shape {rir_a.shape}/{rir_b.shape} does not match config {expected}"
+        )
+    dtype = jnp.dtype(config.dtype)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "config.dtype='float64' requires jax_enable_x64 (parity mode)"
+        )
+
+    rir_a = np.asarray(rir_a, dtype=dtype)
+    rir_b = np.asarray(rir_b, dtype=dtype)
+    nf = config.fir_fft_size
+
+    # Kernel layout: time axis last, (mics, srcs, taps).
+    def kernel_spectra(rir: np.ndarray) -> np.ndarray:
+        return np.fft.rfft(rir.transpose(2, 1, 0), n=nf, axis=-1)
+
+    rir_spec = np.stack([kernel_spectra(rir_a), kernel_spectra(rir_b)])
+
+    tgt_a = _delayed_target_rir(rir_a, config.reference_index_a, config.modeling_delay)
+    tgt_b = _delayed_target_rir(rir_b, config.reference_index_b, config.modeling_delay)
+    target_rir_spec = np.stack(
+        [np.fft.rfft(tgt_a.T, n=nf, axis=-1), np.fft.rfft(tgt_b.T, n=nf, axis=-1)]
+    )
+
+    # Delta target playback filters, laid out (srcs, filter_length) with
+    # time last; the Python variant reuses zone A's filter for both zones
+    # (apvast.py:389-390), the MATLAB variant is per-zone (apVast.m:597-602).
+    def delta_filter(ref_index: int) -> np.ndarray:
+        f = np.zeros((config.num_srcs, config.filter_length), dtype=dtype)
+        f[ref_index, config.modeling_delay] = 1.0
+        return np.fft.rfft(f, n=config.block_size, axis=-1)
+
+    if config.target_filter is TargetFilterVariant.SHARED_A:
+        shared = delta_filter(config.reference_index_a)
+        target_filter_spec = np.stack([shared, shared])
+    else:
+        target_filter_spec = np.stack(
+            [
+                delta_filter(config.reference_index_a),
+                delta_filter(config.reference_index_b),
+            ]
+        )
+
+    cfmr_sq = cs = ca = leff = spectrum_scale = None
+    if config.perceptual:
+        tables = build_perceptual_tables(
+            config.block_size,
+            float(config.sampling_rate),
+            config.pressure_scale_db_spl,
+            config.threshold_method,
+        )
+        cfmr_sq = jnp.asarray(tables.cfmr_sq, dtype=dtype)
+        cs = jnp.asarray(tables.cs, dtype=dtype)
+        ca = jnp.asarray(tables.ca, dtype=dtype)
+        leff = jnp.asarray(tables.leff, dtype=dtype)
+        spectrum_scale = jnp.asarray(tables.spectrum_scale, dtype=dtype)
+
+    return ApVastPlan(
+        window=sine_window(config.block_size, dtype=dtype),
+        rir_spec=jnp.asarray(rir_spec),
+        target_rir_spec=jnp.asarray(target_rir_spec),
+        target_filter_spec=jnp.asarray(target_filter_spec),
+        cfmr_sq=cfmr_sq,
+        cs=cs,
+        ca=ca,
+        leff=leff,
+        spectrum_scale=spectrum_scale,
+    )

@@ -1,0 +1,102 @@
+"""The per-hop carry of the streaming engine.
+
+One immutable pytree replaces the ~30 mutable instance arrays of the
+reference (Python/apvast.py:95-151). Layout convention: batch axes lead
+(path, mic, src, rank), the time axis is always last — contiguous lanes on
+the VPU and natural matmul operands on the MXU.
+
+Path axis order everywhere: 0 = A->A, 1 = A->B, 2 = B->A, 3 = B->B
+(signal -> destination zone); a path's weighting zone is ``path % 2``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from apvast_tpu.config import ApVastConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ApVastState:
+    # Streaming-convolution input histories, (2, fir_history): the FIR
+    # equivalent of all the reference's lfilter delay-line states
+    # (Python/apvast.py:114-120) — one vector per program signal.
+    conv_history: jax.Array
+    # Loudspeaker response blocks, (4, mics, srcs, block_size)
+    # (Python/apvast.py:122-127).
+    resp: jax.Array
+    # Target response blocks, (2, mics, block_size) (apvast.py:128-129).
+    target_resp: jax.Array
+    # WOLA overlap accumulators of the weighted responses,
+    # (4, mics, srcs, block_size) / (2, mics, block_size)
+    # (apvast.py:131-137).
+    wresp_overlap: jax.Array
+    wtarget_overlap: jax.Array
+    # Statistics buffers of weighted responses,
+    # (4, mics, srcs, stat_len) / (2, mics, stat_len) (apvast.py:139-145).
+    wresp_stat: jax.Array
+    wtarget_stat: jax.Array
+    # Sliding input blocks, (2, block_size) (apvast.py:95-96).
+    input_blocks: jax.Array
+    # Output overlap accumulators, (2, num_eigenvectors, srcs, block_size)
+    # (apvast.py:147-151).
+    out_overlap: jax.Array
+    # Target-output overlap accumulators, (2, srcs, block_size). The
+    # reference keeps one copy per rank but feeds every rank the same
+    # spectra (apvast.py:467-496), so all copies stay identical; a single
+    # buffer reproduces the outputs exactly.
+    target_out_overlap: jax.Array
+
+
+def init_state(
+    config: ApVastConfig,
+    key: jax.Array | None = None,
+    response_noise: tuple[jax.Array, jax.Array] | None = None,
+) -> ApVastState:
+    """Fresh engine state.
+
+    The reference seeds the six response buffers with unseeded
+    ``1e-3 * randn`` "for numerical reasons" (Python/apvast.py:122-129).
+    Here the noise comes from an explicit PRNG ``key`` (deterministic,
+    checkpoint/resume-safe); pass ``key=None`` for zero init (the MATLAB
+    behavior, apVast.m:175-180), or inject exact arrays via
+    ``response_noise=(resp, target_resp)`` for parity fixtures.
+    """
+    dtype = jnp.dtype(config.dtype)
+    m, s, v = config.num_mics, config.num_srcs, config.num_eigenvectors
+    block, n = config.block_size, config.statistics_buffer_length
+
+    resp_shape = (4, m, s, block)
+    tgt_shape = (2, m, block)
+    if response_noise is not None:
+        resp, target_resp = (
+            jnp.asarray(response_noise[0], dtype=dtype),
+            jnp.asarray(response_noise[1], dtype=dtype),
+        )
+        if resp.shape != resp_shape or target_resp.shape != tgt_shape:
+            raise ValueError("response_noise shapes do not match config")
+    elif key is not None:
+        k1, k2 = jax.random.split(key)
+        scale = config.noise_init_scale
+        resp = scale * jax.random.normal(k1, resp_shape, dtype=dtype)
+        target_resp = scale * jax.random.normal(k2, tgt_shape, dtype=dtype)
+    else:
+        resp = jnp.zeros(resp_shape, dtype=dtype)
+        target_resp = jnp.zeros(tgt_shape, dtype=dtype)
+
+    return ApVastState(
+        conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
+        resp=resp,
+        target_resp=target_resp,
+        wresp_overlap=jnp.zeros((4, m, s, block), dtype=dtype),
+        wtarget_overlap=jnp.zeros((2, m, block), dtype=dtype),
+        wresp_stat=jnp.zeros((4, m, s, n), dtype=dtype),
+        wtarget_stat=jnp.zeros((2, m, n), dtype=dtype),
+        input_blocks=jnp.zeros((2, block), dtype=dtype),
+        out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
+        target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
+    )

@@ -1,0 +1,50 @@
+"""Offline stream driver: the reference's hop loop (Matlab/main.m:52-62)
+as a single ``lax.scan`` over a compiled hop transition."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from apvast_tpu.config import ApVastConfig
+from apvast_tpu.engine.hop import HopOutputs, process_hop
+from apvast_tpu.engine.plan import ApVastPlan
+from apvast_tpu.engine.state import ApVastState
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def run_stream(
+    config: ApVastConfig,
+    plan: ApVastPlan,
+    state: ApVastState,
+    signal_a: jax.Array,
+    signal_b: jax.Array,
+) -> tuple[ApVastState, HopOutputs]:
+    """Process whole program signals hop by hop under one jit.
+
+    ``signal_a`` / ``signal_b``: (num_hops * hop,) — trailing partial hops
+    must be trimmed/padded by the caller (static shapes). Returns the final
+    state and HopOutputs with a leading ``num_hops`` axis on every field.
+    """
+    hop = config.hop
+    num_hops = signal_a.shape[0] // hop
+    hops_a = signal_a[: num_hops * hop].reshape(num_hops, hop)
+    hops_b = signal_b[: num_hops * hop].reshape(num_hops, hop)
+
+    def step(carry: ApVastState, xs):
+        ha, hb = xs
+        return process_hop(config, plan, carry, ha, hb)
+
+    return jax.lax.scan(step, state, (hops_a, hops_b))
+
+
+def stitch_outputs(stacked: jax.Array) -> jax.Array:
+    """Concatenate scanned per-hop outputs into continuous signals.
+
+    ``stacked``: (num_hops, v, hop, srcs) -> (v, num_hops * hop, srcs),
+    matching the driver-side assembly at Matlab/main.m:58-61.
+    """
+    num_hops, v, hop, srcs = stacked.shape
+    return stacked.transpose(1, 0, 2, 3).reshape(v, num_hops * hop, srcs)

@@ -1,0 +1,7 @@
+"""Model families: the streaming perceptual AP-VAST engine and the
+offline VAST baselines (BACC / variable span / pressure matching)."""
+
+from apvast_tpu.models.apvast import ApVast
+from apvast_tpu.models.vast_offline import vast_offline
+
+__all__ = ["ApVast", "vast_offline"]

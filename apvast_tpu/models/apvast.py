@@ -1,0 +1,108 @@
+"""Convenience stateful wrapper with the reference's calling convention.
+
+Users of the reference drive ``apvast(...)`` then call
+``process_input_buffers(hop_a, hop_b)`` per hop
+(Python/apvast.py:40-56,153-165). This class offers the same surface on
+top of the pure functional engine: it owns the config/plan/state triple,
+jit-compiles the hop transition once, and updates its internal state
+pytree per call. For offline runs prefer ``process_signals`` which scans
+all hops inside one jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apvast_tpu.config import ApVastConfig
+from apvast_tpu.engine import (
+    build_plan,
+    init_state,
+    process_hop,
+    run_stream,
+    stitch_outputs,
+)
+
+
+class ApVast:
+    def __init__(
+        self,
+        block_size: int,
+        rir_a: np.ndarray,
+        rir_b: np.ndarray,
+        filter_length: int,
+        modeling_delay: int,
+        reference_index_a: int,
+        reference_index_b: int,
+        number_of_eigenvectors: int,
+        mu: float,
+        statistics_buffer_length: int,
+        hop_size: int | None = None,
+        sampling_rate: int = 48000,
+        run_a: bool = True,
+        run_b: bool = True,
+        perceptual: bool = True,
+        key: jax.Array | None = None,
+        **config_overrides,
+    ):
+        """Parameter list mirrors the reference constructor
+        (Python/apvast.py:40-56); extra keyword arguments flow into
+        :class:`ApVastConfig` (dtype, behavioral variants, ...)."""
+        self.config = ApVastConfig.for_rirs(
+            rir_a,
+            rir_b,
+            block_size=block_size,
+            filter_length=filter_length,
+            modeling_delay=modeling_delay,
+            reference_index_a=reference_index_a,
+            reference_index_b=reference_index_b,
+            num_eigenvectors=number_of_eigenvectors,
+            mu=mu,
+            statistics_buffer_length=statistics_buffer_length,
+            hop_size=hop_size,
+            sampling_rate=sampling_rate,
+            run_a=run_a,
+            run_b=run_b,
+            perceptual=perceptual,
+            **config_overrides,
+        )
+        self.plan = build_plan(self.config, rir_a, rir_b)
+        self.state = init_state(self.config, key=key)
+        cfg = self.config
+        self._hop_fn = jax.jit(
+            lambda plan, state, a, b: process_hop(cfg, plan, state, a, b)
+        )
+
+    def process_input_buffers(self, input_a, input_b):
+        """One hop. Returns (out_a, out_b, out_a_t, out_b_t), each
+        (V, hop, srcs) or None for a disabled zone — the reference's
+        per-rank output lists (apvast.py:153-165) stacked on axis 0."""
+        hop = self.config.hop
+        input_a = jnp.asarray(input_a).reshape(-1)
+        input_b = jnp.asarray(input_b).reshape(-1)
+        if input_a.shape[0] != hop or input_b.shape[0] != hop:
+            raise ValueError(f"inputs must be exactly hop={hop} samples")
+        self.state, outputs = self._hop_fn(self.plan, self.state, input_a, input_b)
+        return outputs.out_a, outputs.out_b, outputs.out_a_t, outputs.out_b_t
+
+    def process_signals(self, signal_a, signal_b):
+        """Offline path: scan all whole hops of two program signals inside
+        one jit. Returns stitched signals (V, T, srcs) per field (None for
+        disabled zones)."""
+        signal_a = jnp.asarray(signal_a).reshape(-1)
+        signal_b = jnp.asarray(signal_b).reshape(-1)
+        n = (min(signal_a.shape[0], signal_b.shape[0]) // self.config.hop) * self.config.hop
+        self.state, outs = run_stream(
+            self.config, self.plan, self.state, signal_a[:n], signal_b[:n]
+        )
+        stitch = lambda x: None if x is None else stitch_outputs(x)
+        return (
+            stitch(outs.out_a),
+            stitch(outs.out_b),
+            stitch(outs.out_a_t),
+            stitch(outs.out_b_t),
+        )
+
+    def reset(self, key: jax.Array | None = None) -> None:
+        self.state = init_state(self.config, key=key)

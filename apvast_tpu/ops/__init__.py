@@ -1,0 +1,19 @@
+"""Numerics and DSP kernels of the framework (layer L0/L1 of the survey)."""
+
+from apvast_tpu.ops.jdiag import jdiag, jdiag_batched
+from apvast_tpu.ops.fir import streaming_fir, fir_kernel_spectra
+from apvast_tpu.ops.framing import frame_buffer, statistics_matrices
+from apvast_tpu.ops.synthesis import variable_span_filters
+from apvast_tpu.ops.wola import wola_analyze, wola_overlap_add
+
+__all__ = [
+    "fir_kernel_spectra",
+    "frame_buffer",
+    "jdiag",
+    "jdiag_batched",
+    "statistics_matrices",
+    "streaming_fir",
+    "variable_span_filters",
+    "wola_analyze",
+    "wola_overlap_add",
+]

@@ -1,0 +1,60 @@
+"""Weighted overlap-add (WOLA) filterbank primitives.
+
+The reference interleaves windowing, rfft, spectral weighting, irfft and
+overlap-add inline per microphone (Python/apvast.py:197-311,
+Matlab/ControlMethods/apVast.m:288-384). Here they are three small pure
+functions batched over arbitrary leading axes; the time axis is always the
+last axis so XLA lays blocks out contiguously on the VPU lanes.
+
+With the sine window (Python/apvast.py:94) and 50% hop, analysis-window *
+synthesis-window sums to 1 (sin^2 + cos^2), giving perfect reconstruction;
+this is property-tested in tests/test_wola.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sine_window(block_size: int, dtype=jnp.float64) -> jax.Array:
+    """The WOLA window ``sin(pi * n / N)`` (Python/apvast.py:94)."""
+    n = jnp.arange(block_size, dtype=dtype)
+    return jnp.sin(jnp.pi / block_size * n)
+
+
+def wola_analyze(window: jax.Array, blocks: jax.Array) -> jax.Array:
+    """Window + one-sided FFT. ``blocks``: (..., block_size)."""
+    return jnp.fft.rfft(window * blocks, axis=-1)
+
+
+def wola_synthesize(
+    window: jax.Array, spectra: jax.Array, block_size: int
+) -> jax.Array:
+    """One-sided inverse FFT + synthesis window. ``spectra``: (..., bins)."""
+    return window * jnp.fft.irfft(spectra, n=block_size, axis=-1)
+
+
+def wola_overlap_add(
+    overlap: jax.Array, new_block: jax.Array, hop: int
+):
+    """Shift the overlap buffer by ``hop`` and accumulate a synthesized block.
+
+    Mirrors the reference update ``[old[hop:]; zeros(hop)] + new``
+    (Python/apvast.py:218, apVast.m:315-317). Returns ``(buffer, emitted)``
+    where ``emitted`` is the first ``hop`` samples of the updated buffer —
+    the completed WOLA output for this hop.
+    """
+    shifted = jnp.concatenate(
+        [overlap[..., hop:], jnp.zeros_like(overlap[..., :hop])], axis=-1
+    )
+    buffer = shifted + new_block
+    return buffer, buffer[..., :hop]
+
+
+def slide(buffer: jax.Array, fresh: jax.Array) -> jax.Array:
+    """Append ``fresh`` samples to a sliding time buffer, dropping the
+    oldest (the reference's ``concat(buf[idx], new)`` pattern,
+    Python/apvast.py:173,230-235)."""
+    n = fresh.shape[-1]
+    return jnp.concatenate([buffer[..., n:], fresh], axis=-1)

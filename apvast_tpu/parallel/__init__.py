@@ -1,0 +1,15 @@
+"""Mesh/sharding layer (survey component N3): scale-out over ICI."""
+
+from apvast_tpu.parallel.mesh import (
+    make_mesh,
+    shard_plan,
+    shard_scene_batch,
+    sharded_multi_scene_hop,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_plan",
+    "shard_scene_batch",
+    "sharded_multi_scene_hop",
+]

@@ -1,0 +1,15 @@
+"""van de Par (2005) perceptual detectability model (layer L2).
+
+Setup-time table construction lives in ``tables`` (NumPy, float64, runs
+once per config); the per-frame gain evaluation lives in ``model`` (pure
+JAX, jit/vmap-safe — no data-dependent control flow)."""
+
+from apvast_tpu.perceptual.tables import PerceptualTables, build_perceptual_tables
+from apvast_tpu.perceptual.model import perceptual_gain, detectability
+
+__all__ = [
+    "PerceptualTables",
+    "build_perceptual_tables",
+    "detectability",
+    "perceptual_gain",
+]

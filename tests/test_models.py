@@ -1,0 +1,110 @@
+"""Model-level behavior: the ApVast wrapper end-to-end, and the algorithm
+actually doing its job (acoustic contrast) on a synthetic scene."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from apvast_tpu.evaluation.metrics import acoustic_contrast_db, predict_pressure
+from apvast_tpu.models.apvast import ApVast
+from apvast_tpu.utils.rir import synthetic_rirs
+
+
+def _build(num_eig=8, perceptual=False, **kw):
+    rir_a = synthetic_rirs(120, 4, 3, seed=21)
+    rir_b = synthetic_rirs(120, 4, 3, seed=22)
+    return (
+        ApVast(
+            block_size=256,
+            rir_a=rir_a,
+            rir_b=rir_b,
+            filter_length=24,
+            modeling_delay=6,
+            reference_index_a=0,
+            reference_index_b=0,
+            number_of_eigenvectors=num_eig,
+            mu=1.0,
+            statistics_buffer_length=256,
+            sampling_rate=8000,
+            perceptual=perceptual,
+            key=jax.random.key(0),
+            **kw,
+        ),
+        rir_a,
+        rir_b,
+    )
+
+
+def test_wrapper_shapes(rng):
+    model, _, _ = _build()
+    hop = model.config.hop
+    out_a, out_b, out_a_t, out_b_t = model.process_input_buffers(
+        rng.standard_normal(hop), rng.standard_normal(hop)
+    )
+    assert out_a.shape == (8, hop, 4)
+    assert out_b.shape == (8, hop, 4)
+    assert out_a_t.shape == (8, hop, 4)
+    assert out_b_t.shape == (8, hop, 4)
+
+
+def test_process_signals_matches_hop_loop(rng):
+    sig_a = rng.standard_normal(128 * 4)
+    sig_b = rng.standard_normal(128 * 4)
+    m1, _, _ = _build()
+    m2, _, _ = _build()
+    full = m1.process_signals(sig_a, sig_b)[0]  # (V, T, S)
+    pieces = []
+    for h in range(4):
+        out_a, *_ = m2.process_input_buffers(
+            sig_a[h * 128 : (h + 1) * 128], sig_b[h * 128 : (h + 1) * 128]
+        )
+        pieces.append(np.asarray(out_a))
+    want = np.concatenate(pieces, axis=1)
+    np.testing.assert_allclose(np.asarray(full), want, rtol=1e-10, atol=1e-12)
+
+
+def test_acoustic_contrast_tradeoff(rng):
+    """The variable-span trade-off (apVast.m:113-122): acoustic contrast
+    is clearly positive at every span and decreases from the BACC end
+    (rank 1) to the pressure-matching end (full rank) as the filters trade
+    contrast for target fidelity."""
+    model, rir_a, rir_b = _build(num_eig=96)  # full rank = 24*4
+    hop = model.config.hop
+    sig_a = rng.standard_normal(hop * 12)
+    sig_b = rng.standard_normal(hop * 12)
+    out_a, out_b, *_ = model.process_signals(sig_a, sig_b)
+
+    tail = slice(hop * 4, None)  # drop warmup
+
+    def contrast(out, bright_rir, dark_rir, v):
+        feeds = np.asarray(out[v])[tail]
+        return float(
+            acoustic_contrast_db(
+                predict_pressure(feeds, bright_rir), predict_pressure(feeds, dark_rir)
+            )
+        )
+
+    c_a = [contrast(out_a, rir_a, rir_b, v) for v in (0, 95)]
+    c_b = [contrast(out_b, rir_b, rir_a, v) for v in (0, 95)]
+    assert c_a[0] > 3.0, f"rank-1 contrast A {c_a[0]:.1f} dB"
+    assert c_b[0] > 3.0, f"rank-1 contrast B {c_b[0]:.1f} dB"
+    assert c_a[0] > c_a[1], f"contrast did not decrease with rank: {c_a}"
+    assert c_b[0] > c_b[1], f"contrast did not decrease with rank: {c_b}"
+
+
+def test_contrast_increases_with_rank(rng):
+    """Bright-zone fidelity (target tracking) improves with span rank —
+    the variable-span trade-off (apVast.m:113-122)."""
+    model, rir_a, rir_b = _build(num_eig=96)  # full rank = 24*4
+    hop = model.config.hop
+    sig_a = rng.standard_normal(hop * 10)
+    sig_b = rng.standard_normal(hop * 10)
+    out_a, _, out_a_t, _ = model.process_signals(sig_a, sig_b)
+    tail = slice(hop * 4, None)
+    target = predict_pressure(np.asarray(out_a_t[0])[tail], rir_a)
+    errs = []
+    for v in (0, 95):
+        pressure = predict_pressure(np.asarray(out_a[v])[tail], rir_a)
+        errs.append(float(np.sum((pressure - target) ** 2) / np.sum(target**2)))
+    assert errs[1] < errs[0], f"NMSE did not improve with rank: {errs}"

@@ -1,0 +1,118 @@
+"""N6: van de Par perceptual model — calibration invariant, gain
+properties, JAX/NumPy agreement (reference perceptualModel.m,
+gammatoneFilterResponse.m, interpolatedThresholdOfHearing.m)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from apvast_tpu.config import ThresholdMethod, WeightingNorm
+from apvast_tpu.perceptual.model import detectability, perceptual_gain
+from apvast_tpu.perceptual.tables import (
+    build_perceptual_tables,
+    gammatone_center_frequencies,
+    gammatone_magnitude_bank,
+    threshold_of_hearing_db,
+)
+
+FS = 8000.0
+BLOCK = 1024
+
+
+def _bin_sine(freq_bin, amplitude):
+    t = np.arange(BLOCK) / FS
+    f = freq_bin * FS / BLOCK
+    return amplitude * np.sin(2 * np.pi * f * t)
+
+
+def test_threshold_anchor_points():
+    """Spline passes through the ISO 226:2003 table
+    (interpolatedThresholdOfHearing.m:29-30)."""
+    got = threshold_of_hearing_db(np.array([20.0, 1000.0, 12500.0]))
+    np.testing.assert_allclose(got, [78.5, 2.4, 12.3], atol=1e-9)
+    assert np.allclose(
+        threshold_of_hearing_db(np.array([500.0]), ThresholdMethod.NONE), 0.0
+    )
+
+
+def test_gammatone_bank_shape_and_peaks():
+    centers, bws = gammatone_center_frequencies(0.0, FS / 2)
+    freq = np.arange(BLOCK // 2 + 1) * FS / BLOCK
+    bank = gammatone_magnitude_bank(0.0, FS / 2, freq)
+    assert bank.shape == (BLOCK // 2 + 1, len(centers))
+    # Each filter peaks (magnitude 1) at its center frequency.
+    for c in range(len(centers)):
+        peak_bin = np.argmax(bank[:, c])
+        assert abs(freq[peak_bin] - centers[c]) <= FS / BLOCK
+        assert bank[:, c].max() <= 1.0 + 1e-12
+
+
+def test_calibration_invariant():
+    """A 52 dB SPL probe at the masked threshold of a 70 dB SPL
+    on-frequency masker has detectability exactly 1 — the calibration
+    target (perceptualModel.m:59-116)."""
+    tables = build_perceptual_tables(BLOCK, FS, 94.0)
+    fullscale_pa = 10 ** (94.0 / 20) * 20e-6
+    bin_idx = BLOCK // 48 - 1
+
+    def spl_sine(db):
+        amp = np.sqrt(2) * 10 ** (db / 20) * 20e-6 / fullscale_pa
+        return _bin_sine(bin_idx, amp)
+
+    masker_spec = np.fft.rfft(spl_sine(70.0)) * tables.spectrum_scale
+    probe_spec = np.fft.rfft(spl_sine(52.0)) * tables.spectrum_scale
+
+    # Un-normalized squared weighting curve of the masker.
+    gain = perceptual_gain(
+        jnp.asarray(np.fft.rfft(spl_sine(70.0)))[None],
+        jnp.asarray(tables.cfmr_sq),
+        tables.cs,
+        tables.ca,
+        tables.leff,
+        tables.spectrum_scale,
+        WeightingNorm.NONE,
+    )[0]
+    d = detectability(jnp.asarray(probe_spec), jnp.asarray(gain) ** 2)
+    np.testing.assert_allclose(float(d), 1.0, rtol=2e-2)
+    # unused but checks masker spec sanity
+    assert np.isfinite(masker_spec).all()
+
+
+def test_masking_reduces_gain():
+    """A loud masker must lower the weighting near its frequency relative
+    to the silent-input curve (the masking effect)."""
+    tables = build_perceptual_tables(BLOCK, FS, 94.0)
+    bin_idx = 128
+    loud = np.fft.rfft(_bin_sine(bin_idx, 0.5))
+    silent = np.zeros(BLOCK // 2 + 1, dtype=complex)
+
+    def gain(spec):
+        return np.asarray(
+            perceptual_gain(
+                jnp.asarray(spec)[None],
+                jnp.asarray(tables.cfmr_sq),
+                tables.cs,
+                tables.ca,
+                tables.leff,
+                tables.spectrum_scale,
+                WeightingNorm.NONE,
+            )[0]
+        )
+
+    assert gain(loud)[bin_idx] < gain(silent)[bin_idx]
+
+
+def test_unit_norm_variants():
+    tables = build_perceptual_tables(BLOCK, FS, 94.0)
+    spec = jnp.asarray(np.fft.rfft(_bin_sine(100, 0.1)))[None]
+    args = (
+        jnp.asarray(tables.cfmr_sq),
+        tables.cs,
+        tables.ca,
+        tables.leff,
+        tables.spectrum_scale,
+    )
+    g1 = perceptual_gain(spec, *args, WeightingNorm.UNIT_ONESIDED)[0]
+    np.testing.assert_allclose(float(jnp.linalg.norm(g1)), 1.0, rtol=1e-10)
+    g2 = perceptual_gain(spec, *args, WeightingNorm.UNIT_SYMMETRIC)[0]
+    sym = np.concatenate([np.asarray(g2), np.asarray(g2)[1:-1][::-1]])
+    np.testing.assert_allclose(np.linalg.norm(sym), 1.0, rtol=1e-10)

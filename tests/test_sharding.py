@@ -1,0 +1,129 @@
+"""N3: mesh/sharding layer on the 8-device virtual CPU mesh — the
+multi-scene batched hop under (scene x mic) shard_map (psum-combined
+statistics) must match the unsharded computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apvast_tpu.config import ApVastConfig
+from apvast_tpu.engine import build_plan, init_state
+from apvast_tpu.parallel.mesh import (
+    make_mesh,
+    shard_plan,
+    shard_scene_batch,
+    sharded_multi_scene_hop,
+)
+from apvast_tpu.utils.rir import synthetic_rirs
+
+
+def _scene_config():
+    # 8 mics so the mic axis splits over 4 devices.
+    return ApVastConfig(
+        rir_length=64,
+        num_srcs=4,
+        num_mics=8,
+        block_size=64,
+        filter_length=8,
+        modeling_delay=3,
+        reference_index_a=0,
+        reference_index_b=1,
+        num_eigenvectors=4,
+        mu=1.0,
+        statistics_buffer_length=96,
+        sampling_rate=8000,
+        perceptual=True,
+    )
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *x: jnp.stack(x), *trees)
+
+
+@pytest.fixture(scope="module")
+def scene_batch():
+    cfg = _scene_config()
+    plans, states = [], []
+    for i in range(2):
+        rir_a = synthetic_rirs(64, 4, 8, seed=30 + i)
+        rir_b = synthetic_rirs(64, 4, 8, seed=40 + i)
+        plans.append(build_plan(cfg, rir_a, rir_b))
+        states.append(init_state(cfg, key=jax.random.key(i)))
+    rng = np.random.default_rng(5)
+    hops = jnp.asarray(rng.standard_normal((2, 2, cfg.hop)))  # (scene, ab, hop)
+    return cfg, _stack(plans), _stack(states), hops
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mic_sharded_matches_unsharded(scene_batch):
+    cfg, plans, states, hops = scene_batch
+    # Unsharded reference run (plain jit(vmap)).
+    ref_fn = sharded_multi_scene_hop(cfg)
+    ref_state, ref_out = ref_fn(plans, states, hops[:, 0], hops[:, 1])
+
+    mesh = make_mesh({"scene": 2, "mic": 4})
+    sharded_fn = sharded_multi_scene_hop(cfg, mesh)
+    sh_plans = shard_plan(plans, mesh)
+    sh_states = shard_scene_batch(states, mesh)
+    got_state, got_out = sharded_fn(sh_plans, sh_states, hops[:, 0], hops[:, 1])
+
+    np.testing.assert_allclose(
+        np.asarray(got_out.out_a), np.asarray(ref_out.out_a), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_state.wresp_stat),
+        np.asarray(ref_state.wresp_stat),
+        rtol=1e-9,
+        atol=1e-11,
+    )
+
+
+def test_mic_sharding_survives_multiple_hops(scene_batch):
+    cfg, plans, states, hops = scene_batch
+    mesh = make_mesh({"scene": 2, "mic": 4})
+    sharded_fn = sharded_multi_scene_hop(cfg, mesh)
+    sh_plans = shard_plan(plans, mesh)
+    state = shard_scene_batch(states, mesh)
+    for _ in range(3):
+        state, out = sharded_fn(sh_plans, state, hops[:, 0], hops[:, 1])
+    assert np.all(np.isfinite(np.asarray(out.out_a)))
+
+
+def test_scene_only_mesh(scene_batch):
+    """Pure data-parallel layout (scene axis over devices) through GSPMD."""
+    cfg, plans, states, hops = scene_batch
+    mesh = make_mesh({"scene": 2})
+    sh_plans = shard_plan(plans, mesh)
+    sh_states = shard_scene_batch(states, mesh)
+    hop_fn = sharded_multi_scene_hop(cfg)  # GSPMD path
+    _, out = hop_fn(sh_plans, sh_states, hops[:, 0], hops[:, 1])
+    assert out.out_a.shape == (2, cfg.num_eigenvectors, cfg.hop, cfg.num_srcs)
+
+
+def test_mic_only_mesh(scene_batch):
+    """Single scene, all 8 devices on the microphone axis."""
+    cfg0 = _scene_config()
+    rir_a = synthetic_rirs(64, 4, 8, seed=90)
+    rir_b = synthetic_rirs(64, 4, 8, seed=91)
+    plan = build_plan(cfg0, rir_a, rir_b)
+    state = init_state(cfg0, key=jax.random.key(9))
+    plans = jax.tree.map(lambda x: None if x is None else x[None], plan)
+    states = jax.tree.map(lambda x: x[None], state)
+    rng = np.random.default_rng(17)
+    hops = jnp.asarray(rng.standard_normal((1, 2, cfg0.hop)))
+
+    ref_fn = sharded_multi_scene_hop(cfg0)
+    _, ref_out = ref_fn(plans, states, hops[:, 0], hops[:, 1])
+
+    mesh = make_mesh({"mic": 8})
+    sharded_fn = sharded_multi_scene_hop(cfg0, mesh)
+    sh_plans = shard_plan(plans, mesh)
+    sh_states = shard_scene_batch(states, mesh)
+    _, got_out = sharded_fn(sh_plans, sh_states, hops[:, 0], hops[:, 1])
+    np.testing.assert_allclose(
+        np.asarray(got_out.out_a), np.asarray(ref_out.out_a), rtol=1e-9, atol=1e-11
+    )
