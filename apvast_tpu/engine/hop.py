@@ -32,6 +32,8 @@ from apvast_tpu.ops.framing import frame_buffer
 from apvast_tpu.ops.jdiag import jdiag_batched
 from apvast_tpu.ops.synthesis import variable_span_filters
 from apvast_tpu.ops.wola import (
+    irfft_batched,
+    rfft_batched,
     slide,
     wola_analyze,
     wola_overlap_add,
@@ -95,9 +97,9 @@ def process_hop(
         plan.rir_spec[jnp.asarray(_PATH_RIR)]
         * seg_spec[jnp.asarray(_PATH_SIGNAL)][:, None, None, :]
     )  # (4, m, s, nf/2+1)
-    new_resp = jnp.fft.irfft(path_spec, n=nf, axis=-1)[..., nf - hop :]
+    new_resp = irfft_batched(path_spec, nf)[..., nf - hop :]
     tgt_path_spec = plan.target_rir_spec * seg_spec[:, None, :]  # (2, m, ·)
-    new_target = jnp.fft.irfft(tgt_path_spec, n=nf, axis=-1)[..., nf - hop :]
+    new_target = irfft_batched(tgt_path_spec, nf)[..., nf - hop :]
 
     resp = slide(state.resp, new_resp)
     target_resp = slide(state.target_resp, new_target)
@@ -199,7 +201,7 @@ def process_hop(
     # w layout is source-major (w[s*j + tap]); reshape to (zone, v, s, j)
     # == the reference's order='F' reshape (apvast.py:417).
     filters = w_family.reshape(2, v, s, j)
-    filt_spec = jnp.fft.rfft(filters, n=block, axis=-1)  # (2, v, s, bins)
+    filt_spec = rfft_batched(filters, block)[..., : config.num_bins]  # (2, v, s, bins)
 
     # ---- 6. slide input blocks (ref apvast.py:424-426) -----------------
     input_blocks = slide(state.input_blocks, hops)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from apvast_tpu.ops.wola import irfft_batched, rfft_batched
+
 
 def predict_pressure(loudspeaker_signals, rirs):
     """Predicted zone pressure.
@@ -31,12 +33,12 @@ def predict_pressure(loudspeaker_signals, rirs):
     nfft = 1
     while nfft < t + rl - 1:
         nfft *= 2
-    sig_spec = jnp.fft.rfft(
-        jnp.moveaxis(loudspeaker_signals, -1, -2), n=nfft, axis=-1
+    sig_spec = rfft_batched(
+        jnp.moveaxis(loudspeaker_signals, -1, -2), nfft
     )  # (..., srcs, nfft/2+1)
-    rir_spec = jnp.fft.rfft(rirs.transpose(1, 2, 0), n=nfft, axis=-1)  # (s, m, ·)
+    rir_spec = rfft_batched(rirs.transpose(1, 2, 0), nfft)  # (s, m, ·)
     prod = jnp.einsum("...sf,smf->...mf", sig_spec, rir_spec)
-    pressure = jnp.fft.irfft(prod, n=nfft, axis=-1)[..., :t]
+    pressure = irfft_batched(prod, nfft)[..., :t]
     return jnp.moveaxis(pressure, -1, -2)  # (..., T, mics)
 
 

@@ -18,10 +18,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from apvast_tpu.ops.wola import irfft_batched, rfft_batched
+
 
 def fir_kernel_spectra(kernels: jax.Array, fft_size: int) -> jax.Array:
     """Precompute rfft of FIR kernels. ``kernels``: (..., taps)."""
-    return jnp.fft.rfft(kernels, n=fft_size, axis=-1)
+    return rfft_batched(kernels, fft_size)
 
 
 def streaming_fir(
@@ -46,7 +48,7 @@ def streaming_fir(
     segment = jnp.concatenate([history, hop_samples])
     fft_size = segment.shape[-1]
     seg_spec = jnp.fft.rfft(segment)
-    full = jnp.fft.irfft(kernel_spectra * seg_spec, n=fft_size, axis=-1)
+    full = irfft_batched(kernel_spectra * seg_spec, fft_size)
     outputs = full[..., fft_size - hop :]
     new_history = segment[hop:]
     return new_history, outputs

@@ -13,8 +13,39 @@ this is property-tested in tests/test_wola.py.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+# The TPU runtime used here rejects very large flattened FFT batches
+# (empirically, irfft with >= ~800 rows fails); all batched FFTs go
+# through the chunked helpers below, which split the leading batch into
+# slabs of at most this many rows. Chunking is free for XLA (static
+# slices, fused) and keeps single-scene graphs inside the limit.
+_FFT_MAX_ROWS = 256
+
+
+def _batched_fft(fn, spectra: jax.Array) -> jax.Array:
+    lead = math.prod(spectra.shape[:-1])
+    if lead <= _FFT_MAX_ROWS:
+        return fn(spectra)
+    flat = spectra.reshape(lead, spectra.shape[-1])
+    parts = [
+        fn(flat[i : i + _FFT_MAX_ROWS]) for i in range(0, lead, _FFT_MAX_ROWS)
+    ]
+    out = jnp.concatenate(parts, axis=0)
+    return out.reshape(*spectra.shape[:-1], out.shape[-1])
+
+
+def rfft_batched(blocks: jax.Array, n: int) -> jax.Array:
+    """Batch-size-safe one-sided FFT along the last axis."""
+    return _batched_fft(lambda x: jnp.fft.rfft(x, n=n, axis=-1), blocks)
+
+
+def irfft_batched(spectra: jax.Array, n: int) -> jax.Array:
+    """Batch-size-safe one-sided inverse FFT along the last axis."""
+    return _batched_fft(lambda x: jnp.fft.irfft(x, n=n, axis=-1), spectra)
 
 
 def sine_window(block_size: int, dtype=jnp.float64) -> jax.Array:
@@ -25,14 +56,14 @@ def sine_window(block_size: int, dtype=jnp.float64) -> jax.Array:
 
 def wola_analyze(window: jax.Array, blocks: jax.Array) -> jax.Array:
     """Window + one-sided FFT. ``blocks``: (..., block_size)."""
-    return jnp.fft.rfft(window * blocks, axis=-1)
+    return rfft_batched(window * blocks, blocks.shape[-1])
 
 
 def wola_synthesize(
     window: jax.Array, spectra: jax.Array, block_size: int
 ) -> jax.Array:
     """One-sided inverse FFT + synthesis window. ``spectra``: (..., bins)."""
-    return window * jnp.fft.irfft(spectra, n=block_size, axis=-1)
+    return window * irfft_batched(spectra, block_size)
 
 
 def wola_overlap_add(
