@@ -146,6 +146,11 @@ class ApVastConfig:
     weighting_norm: WeightingNorm = WeightingNorm.UNIT_ONESIDED
     target_filter: TargetFilterVariant = TargetFilterVariant.SHARED_A
     threshold_method: ThresholdMethod = ThresholdMethod.ISO226_2003
+    # MATLAB-style multi-solution mode (apVast.m:113-120): when set, the
+    # engine still diagonalizes with num_eigenvectors = max(output_spans)
+    # but synthesizes outputs only for these span ranks (1-based), instead
+    # of the Python engine's one-output-per-rank-1..V contract.
+    output_spans: tuple[int, ...] | None = None
     # 0 dBFS <-> this many dB SPL (Matlab/main.m:44 uses 94).
     pressure_scale_db_spl: float = 94.0
     # Scale of the deterministic noise init of the response buffers
@@ -168,6 +173,15 @@ class ApVastConfig:
             raise ValueError("reference_index_b out of range")
         if self.num_eigenvectors > self.filter_length * self.num_srcs:
             raise ValueError("num_eigenvectors exceeds JL")
+        if self.output_spans is not None:
+            if len(self.output_spans) == 0:
+                raise ValueError("output_spans must be non-empty")
+            if any(
+                not 1 <= v <= self.num_eigenvectors for v in self.output_spans
+            ):
+                raise ValueError(
+                    "output_spans entries must lie in [1, num_eigenvectors]"
+                )
 
     # ---- derived static quantities -------------------------------------
 
@@ -185,6 +199,16 @@ class ApVastConfig:
     def jl(self) -> int:
         """Dimension of the spatial correlation matrices (J * L)."""
         return self.filter_length * self.num_srcs
+
+    @property
+    def num_solutions(self) -> int:
+        """Leading output axis: span count (MATLAB mode) or V (Python
+        all-ranks mode)."""
+        return (
+            len(self.output_spans)
+            if self.output_spans is not None
+            else self.num_eigenvectors
+        )
 
     @property
     def num_frames(self) -> int:

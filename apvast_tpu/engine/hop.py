@@ -198,6 +198,13 @@ def process_hop(
     zone_gate = jnp.asarray([float(config.run_a), float(config.run_b)], dtype=dtype)
     w_family = w_family * zone_gate[:, None, None]
 
+    if config.output_spans is not None:
+        # MATLAB multi-solution mode (apVast.m:113-120,527-549): keep only
+        # the requested span ranks for output synthesis.
+        span_idx = jnp.asarray([sp - 1 for sp in config.output_spans])
+        w_family = w_family[:, span_idx]
+    v = config.num_solutions
+
     # w layout is source-major (w[s*j + tap]); reshape to (zone, v, s, j)
     # == the reference's order='F' reshape (apvast.py:417).
     filters = w_family.reshape(2, v, s, j)

@@ -67,7 +67,7 @@ def init_state(
     ``response_noise=(resp, target_resp)`` for parity fixtures.
     """
     dtype = jnp.dtype(config.dtype)
-    m, s, v = config.num_mics, config.num_srcs, config.num_eigenvectors
+    m, s, v = config.num_mics, config.num_srcs, config.num_solutions
     block, n = config.block_size, config.statistics_buffer_length
 
     resp_shape = (4, m, s, block)

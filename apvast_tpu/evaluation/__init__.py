@@ -2,8 +2,14 @@
 
 from apvast_tpu.evaluation.metrics import (
     acoustic_contrast_db,
+    detectability,
     normalized_mse,
     predict_pressure,
 )
 
-__all__ = ["acoustic_contrast_db", "normalized_mse", "predict_pressure"]
+__all__ = [
+    "acoustic_contrast_db",
+    "detectability",
+    "normalized_mse",
+    "predict_pressure",
+]

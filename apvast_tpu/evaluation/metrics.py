@@ -56,3 +56,33 @@ def normalized_mse(pressure, target_pressure) -> jnp.ndarray:
     err = jnp.sum((target_pressure - pressure) ** 2, axis=-2)
     ref = jnp.sum(target_pressure**2, axis=-2)
     return jnp.mean(err / ref, axis=-1)
+
+
+def detectability(test_blocks, masker_blocks, tables) -> jnp.ndarray:
+    """Perceptual detectability of test signal blocks under masker blocks
+    (Matlab/ControlMethods/perceptualModel.m:192-221):
+    D = sum_{f>0} w_masker^2(f) |T(f)|^2 per block.
+
+    Args:
+        test_blocks: (..., block) time blocks of the signal to judge
+            (e.g. reproduction error or dark-zone leakage).
+        masker_blocks: (..., block) time blocks of the masking signal
+            (e.g. the target-zone pressure).
+        tables: a :class:`apvast_tpu.perceptual.PerceptualTables`.
+
+    Returns: (...,) detectability per block. D = 1 is the masked
+    threshold by calibration; D >> 1 is clearly audible.
+    """
+    from apvast_tpu.perceptual.model import detectability as _d
+    from apvast_tpu.perceptual.model import squared_weighting
+
+    cfmr_sq = jnp.asarray(tables.cfmr_sq, dtype=test_blocks.dtype)
+    masker_spec = rfft_batched(masker_blocks, masker_blocks.shape[-1])
+    w_sq = squared_weighting(
+        masker_spec, cfmr_sq, tables.cs, tables.ca, tables.leff,
+        tables.spectrum_scale,
+    )
+    test_spec = (
+        rfft_batched(test_blocks, test_blocks.shape[-1]) * tables.spectrum_scale
+    )
+    return _d(test_spec, w_sq)

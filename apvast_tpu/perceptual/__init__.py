@@ -5,11 +5,16 @@ once per config); the per-frame gain evaluation lives in ``model`` (pure
 JAX, jit/vmap-safe — no data-dependent control flow)."""
 
 from apvast_tpu.perceptual.tables import PerceptualTables, build_perceptual_tables
-from apvast_tpu.perceptual.model import perceptual_gain, detectability
+from apvast_tpu.perceptual.model import (
+    detectability,
+    perceptual_gain,
+    squared_weighting,
+)
 
 __all__ = [
     "PerceptualTables",
     "build_perceptual_tables",
     "detectability",
     "perceptual_gain",
+    "squared_weighting",
 ]

@@ -22,6 +22,28 @@ import jax.numpy as jnp
 from apvast_tpu.config import WeightingNorm
 
 
+def squared_weighting(
+    spectra: jax.Array,
+    cfmr_sq: jax.Array,
+    cs: float,
+    ca: float,
+    leff: float,
+    spectrum_scale: float,
+) -> jax.Array:
+    """The un-normalized squared weighting curve w^2(f) of masker spectra
+    (perceptualModel.m:118-139). ``spectra``: (..., bins) raw rfft."""
+    power = jnp.abs(spectra * spectrum_scale) ** 2
+    masker = jnp.einsum(
+        "...f,fc->...c", power, cfmr_sq, preferred_element_type=power.dtype
+    )
+    return (cs * leff) * jnp.einsum(
+        "fc,...c->...f",
+        cfmr_sq,
+        1.0 / (masker + ca),
+        preferred_element_type=power.dtype,
+    )
+
+
 def perceptual_gain(
     spectra: jax.Array,
     cfmr_sq: jax.Array,
@@ -45,16 +67,7 @@ def perceptual_gain(
     Returns:
         (..., bins) real gains.
     """
-    power = jnp.abs(spectra * spectrum_scale) ** 2
-    masker = jnp.einsum(
-        "...f,fc->...c", power, cfmr_sq, preferred_element_type=power.dtype
-    )
-    w_sq = (cs * leff) * jnp.einsum(
-        "fc,...c->...f",
-        cfmr_sq,
-        1.0 / (masker + ca),
-        preferred_element_type=power.dtype,
-    )
+    w_sq = squared_weighting(spectra, cfmr_sq, cs, ca, leff, spectrum_scale)
     gain = jnp.sqrt(w_sq)
     if norm is WeightingNorm.UNIT_ONESIDED:
         # Python/apvast.py:322-324 normalizes the one-sided vector.

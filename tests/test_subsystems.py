@@ -1,0 +1,157 @@
+"""Auxiliary subsystems (survey §5): multi-span output mode,
+checkpoint/resume, observability, detectability metric, checkify guards."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apvast_tpu.config import ApVastConfig
+from apvast_tpu.engine import build_plan, init_state, process_hop
+from apvast_tpu.evaluation.metrics import detectability
+from apvast_tpu.observability import HopTimer, checked_hop, hop_metrics
+from apvast_tpu.perceptual import build_perceptual_tables
+from apvast_tpu.utils.checkpoint import load_state, save_state
+from apvast_tpu.utils.rir import synthetic_rirs
+
+
+def _run(cfg, rir_a, rir_b, hops, key=0):
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(key))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    rng = np.random.default_rng(11)
+    outs = []
+    for _ in range(hops):
+        state, out = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop)),
+            jnp.asarray(rng.standard_normal(cfg.hop)),
+        )
+        outs.append(out)
+    return state, outs
+
+
+def test_output_spans_selects_from_rank_family(small_scene):
+    """MATLAB multi-solution mode (apVast.m:113-120): outputs at spans
+    (1, 3, 6) must equal ranks 0, 2, 5 of the all-ranks Python mode."""
+    cfg, rir_a, rir_b = small_scene
+    _, full = _run(cfg, rir_a, rir_b, hops=4)
+
+    spans_cfg = dataclasses.replace(cfg, output_spans=(1, 3, 6))
+    _, selected = _run(spans_cfg, rir_a, rir_b, hops=4)
+
+    for f, s in zip(full, selected):
+        np.testing.assert_allclose(
+            np.asarray(s.out_a),
+            np.asarray(f.out_a)[[0, 2, 5]],
+            rtol=1e-12,
+            atol=1e-14,
+        )
+        assert s.out_b.shape[0] == 3
+        assert s.out_a_t.shape[0] == 3
+
+
+def test_checkpoint_resume_exact(tmp_path, small_scene):
+    """Save at hop 3, resume, and the continuation must be bit-exact vs
+    an uninterrupted run (survey §5 checkpoint/resume)."""
+    cfg, rir_a, rir_b = small_scene
+    plan = build_plan(cfg, rir_a, rir_b)
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    rng = np.random.default_rng(3)
+    hops = [
+        (rng.standard_normal(cfg.hop), rng.standard_normal(cfg.hop))
+        for _ in range(6)
+    ]
+
+    state = init_state(cfg, key=jax.random.key(1))
+    for a, b in hops[:3]:
+        state, _ = fn(state, jnp.asarray(a), jnp.asarray(b))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_state(path, state)
+
+    # Continue original.
+    ref_state = state
+    ref_outs = []
+    for a, b in hops[3:]:
+        ref_state, out = fn(ref_state, jnp.asarray(a), jnp.asarray(b))
+        ref_outs.append(np.asarray(out.out_a))
+
+    # Resume from disk.
+    resumed = load_state(path, cfg)
+    res_outs = []
+    for a, b in hops[3:]:
+        resumed, out = fn(resumed, jnp.asarray(a), jnp.asarray(b))
+        res_outs.append(np.asarray(out.out_a))
+
+    for r, w in zip(res_outs, ref_outs):
+        np.testing.assert_array_equal(r, w)
+
+
+def test_checkpoint_config_validation(tmp_path, small_scene):
+    cfg, rir_a, rir_b = small_scene
+    state = init_state(cfg, key=jax.random.key(0))
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_state(path, state)
+    other = dataclasses.replace(
+        cfg, statistics_buffer_length=cfg.statistics_buffer_length + 8
+    )
+    try:
+        load_state(path, other)
+        raise AssertionError("expected shape mismatch error")
+    except ValueError as e:
+        assert "shape" in str(e)
+
+
+def test_hop_metrics(small_scene):
+    cfg, rir_a, rir_b = small_scene
+    _, outs = _run(cfg, rir_a, rir_b, hops=6)
+    metrics = hop_metrics(outs[-1], jnp.asarray(rir_a), jnp.asarray(rir_b))
+    v = cfg.num_eigenvectors
+    assert metrics.contrast_a_db.shape == (v,)
+    assert metrics.output_rms.shape == (2, v)
+    assert np.all(np.isfinite(np.asarray(metrics.contrast_a_db)))
+    # Post-warmup contrast should be positive at the BACC end.
+    assert float(metrics.contrast_a_db[0]) > 0.0
+
+
+def test_hop_timer_sync():
+    t = HopTimer()
+    x = jnp.ones((256, 256))
+    out = []
+    with t.measure(out):
+        out.append(jnp.matmul(x, x))
+    assert len(t.samples) == 1 and t.samples[0] >= 0.0
+    assert np.isfinite(t.median_ms)
+
+
+def test_checked_hop_clean(small_scene):
+    """checkify guards pass on healthy inputs (the debug-mode analog of
+    the reference's inline asserts)."""
+    cfg, rir_a, rir_b = small_scene
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(checked_hop(cfg))
+    rng = np.random.default_rng(0)
+    err, (state, out) = fn(
+        plan,
+        state,
+        jnp.asarray(rng.standard_normal(cfg.hop)),
+        jnp.asarray(rng.standard_normal(cfg.hop)),
+    )
+    err.throw()  # no error
+
+
+def test_detectability_metric_scaling():
+    """Louder test signals are more detectable; the calibration-level
+    probe sits near D = 1 (perceptualModel.m:192-221)."""
+    tables = build_perceptual_tables(1024, 8000.0, 94.0)
+    rng = np.random.default_rng(0)
+    masker = rng.standard_normal((3, 1024)) * 0.1
+    quiet = rng.standard_normal((3, 1024)) * 1e-6
+    loud = quiet * 1e4
+    d_quiet = np.asarray(detectability(jnp.asarray(quiet), jnp.asarray(masker), tables))
+    d_loud = np.asarray(detectability(jnp.asarray(loud), jnp.asarray(masker), tables))
+    assert np.all(d_loud > d_quiet)
+    np.testing.assert_allclose(d_loud, d_quiet * 1e8, rtol=1e-6)
