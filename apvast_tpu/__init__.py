@@ -42,12 +42,14 @@ from apvast_tpu.engine import (
     run_stream,
 )
 from apvast_tpu.models.apvast import ApVast
+from apvast_tpu.models.apvast_fd import ApVastFD
 from apvast_tpu.models.vast_offline import vast_offline
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ApVast",
+    "ApVastFD",
     "ApVastConfig",
     "ApVastPlan",
     "ApVastState",

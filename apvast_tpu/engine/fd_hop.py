@@ -1,0 +1,217 @@
+"""Frequency-domain (DFT-domain) AP-VAST — the TPU production mode.
+
+The time-domain engine solves one JL x JL generalized eigenproblem per
+zone per hop (JL = filter_length * srcs, e.g. 800) — the reference's
+formulation (Python/apvast.py:329-422) and its dominant cost on any
+hardware. This engine reformulates the trade-off *per STFT bin*: each
+bin's spatial covariance pencil is only S x S (S = #loudspeakers), and
+all ``2 * num_bins`` tiny Hermitian GEVDs solve in one vmapped ``eigh`` —
+hundreds of matmul-shaped problems instead of one LAPACK-shaped one.
+This is the "DFT-domain VAST" design the reference's README points to
+for fast implementations (README.md:6, the vast_dft lineage); it is a
+different trade-off (per-bin variable span, rank 1..S per bin; filters
+constrained back to J taps by projection) and is validated on the
+acoustic metrics, not sample parity with the time-domain reference.
+
+Shared with the time-domain engine: the streaming RIR convolution,
+perceptual weighting and WOLA output synthesis (imported from
+``engine.hop``). Replaced: time-domain framing/statistics -> per-bin
+exponentially-weighted covariance recursion; the big GEVD -> batched
+per-bin Hermitian jdiag; rank-V cumulative synthesis is unchanged in
+form but runs per bin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from apvast_tpu.config import ApVastConfig
+from apvast_tpu.engine.hop import (
+    HopOutputs,
+    convolve_inputs,
+    weighted_spectra,
+)
+from apvast_tpu.engine.plan import ApVastPlan
+from apvast_tpu.ops.jdiag import jdiag_hermitian_batched
+from apvast_tpu.ops.wola import (
+    irfft_batched,
+    rfft_batched,
+    slide,
+    wola_analyze,
+    wola_overlap_add,
+    wola_synthesize,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FdState:
+    """Carry of the frequency-domain engine. No time-domain statistics
+    buffers — the per-bin covariance recursion replaces them."""
+
+    conv_history: jax.Array  # (2, fir_history)
+    resp: jax.Array  # (4, mics, srcs, block)
+    target_resp: jax.Array  # (2, mics, block)
+    input_blocks: jax.Array  # (2, block)
+    out_overlap: jax.Array  # (2, V, srcs, block)
+    target_out_overlap: jax.Array  # (2, srcs, block)
+    # Exponentially-weighted per-bin statistics.
+    cov: jax.Array  # (4, bins, srcs, srcs) complex
+    cross: jax.Array  # (2, bins, srcs) complex
+
+
+def init_fd_state(
+    config: ApVastConfig, key: jax.Array | None = None
+) -> FdState:
+    dtype = jnp.dtype(config.dtype)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    m, s = config.num_mics, config.num_srcs
+    v = config.num_eigenvectors
+    block, bins = config.block_size, config.num_bins
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+        scale = config.noise_init_scale
+        resp = scale * jax.random.normal(k1, (4, m, s, block), dtype=dtype)
+        target_resp = scale * jax.random.normal(k2, (2, m, block), dtype=dtype)
+    else:
+        resp = jnp.zeros((4, m, s, block), dtype=dtype)
+        target_resp = jnp.zeros((2, m, block), dtype=dtype)
+    return FdState(
+        conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
+        resp=resp,
+        target_resp=target_resp,
+        input_blocks=jnp.zeros((2, block), dtype=dtype),
+        out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
+        target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
+        cov=jnp.zeros((4, bins, s, s), dtype=cdtype),
+        cross=jnp.zeros((2, bins, s), dtype=cdtype),
+    )
+
+
+def process_hop_fd(
+    config: ApVastConfig,
+    plan: ApVastPlan,
+    state: FdState,
+    hop_a: jax.Array,
+    hop_b: jax.Array,
+    forgetting: float = 0.9,
+    reg: float | None = None,
+    mic_axis: str | None = None,
+) -> tuple[FdState, HopOutputs]:
+    """One hop of the frequency-domain engine.
+
+    ``forgetting``: exponential decay of the per-bin covariance recursion
+    (the FD analog of the reference's sliding statistics buffer).
+    ``reg``: diagonal loading per bin, default ``config.reg_b`` scaled by
+    the mean covariance trace for scale invariance.
+    """
+    dtype = jnp.dtype(config.dtype)
+    hop, block = config.hop, config.block_size
+    s, v = config.num_srcs, config.num_eigenvectors
+    if v > s:
+        raise ValueError(
+            f"frequency-domain span rank is per-bin: num_eigenvectors={v} "
+            f"must be <= num_srcs={s}"
+        )
+    win = plan.window
+
+    hops = jnp.stack([hop_a, hop_b]).astype(dtype)
+    conv_history, resp, target_resp = convolve_inputs(
+        config, plan, state.conv_history, state.resp, state.target_resp, hops
+    )
+    wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
+    # r_spec: (4, m, s, bins); wt_spec: (2, m, bins).
+
+    # ---- per-bin statistics recursion ---------------------------------
+    # R_f = lambda R_f + sum_m conj(h_m) h_m^T, r_f = ... conj(h_m) d_m.
+    new_cov = jnp.einsum(
+        "pmsf,pmtf->pfst", jnp.conj(r_spec), r_spec
+    )
+    new_cross = jnp.einsum(
+        "zmsf,zmf->zfs",
+        jnp.conj(r_spec[jnp.asarray([0, 3])]),
+        wt_spec,
+    )
+    if mic_axis is not None:
+        new_cov = jax.lax.psum(new_cov, mic_axis)
+        new_cross = jax.lax.psum(new_cross, mic_axis)
+    cov = forgetting * state.cov + new_cov
+    cross = forgetting * state.cross + new_cross
+
+    # ---- batched per-bin Hermitian GEVD -------------------------------
+    # Zone A pencil per bin: (cov[AA], cov[AB]); zone B: (cov[BB], cov[BA]).
+    bins = config.num_bins
+    a_stack = cov[jnp.asarray([0, 3])].reshape(2 * bins, s, s)
+    b_stack = cov[jnp.asarray([1, 2])].reshape(2 * bins, s, s)
+    if reg is None:
+        # Scale-invariant loading relative to each bin's dark energy.
+        trace = jnp.einsum("bss->b", b_stack).real / s
+        reg_vec = config.reg_b + 1e-4 * trace
+    else:
+        reg_vec = jnp.full((2 * bins,), reg)
+    eye = jnp.eye(s, dtype=b_stack.dtype)
+    b_loaded = b_stack + reg_vec[:, None, None] * eye
+    u, lam = jdiag_hermitian_batched(a_stack, b_loaded, 0.0)
+    u = u.reshape(2, bins, s, s)
+    lam = lam.reshape(2, bins, s)
+
+    # ---- per-bin variable-span synthesis ------------------------------
+    # coef_i(f) = (u_i^H r_f) / (lam_i + mu); all ranks via cumsum.
+    coef = jnp.einsum("zfsi,zfs->zfi", jnp.conj(u), cross) / (
+        lam + jnp.asarray(config.mu, dtype=lam.dtype)
+    )
+    # w ranks: (2, bins, V, s)
+    w_all = jnp.cumsum(
+        coef[..., :v, None] * u.transpose(0, 1, 3, 2)[:, :, :v, :], axis=2
+    )
+    zone_gate = jnp.asarray(
+        [float(config.run_a), float(config.run_b)], dtype=dtype
+    )
+    w_all = w_all * zone_gate[:, None, None, None]
+
+    filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V, s, bins)
+    # Constrain to J-tap FIR filters (projection: ifft -> truncate ->
+    # fft), restoring the time-domain engine's filter structure so the
+    # WOLA output path stays alias-free.
+    w_time = irfft_batched(filt_spec, block)[..., : config.filter_length]
+    filt_spec = rfft_batched(w_time, block)
+
+    # ---- output synthesis (same WOLA machinery as the TD engine) ------
+    input_blocks = slide(state.input_blocks, hops)
+    in_spec = wola_analyze(win, input_blocks)  # (2, bins)
+
+    out_spec = in_spec[:, None, None, :] * filt_spec
+    new_out = wola_synthesize(win, out_spec, block)
+    out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
+
+    t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
+    new_t_out = wola_synthesize(win, t_out_spec, block)
+    target_out_overlap, t_emit = wola_overlap_add(
+        state.target_out_overlap, new_t_out, hop
+    )
+
+    out_vhs = out_emit.transpose(0, 1, 3, 2)
+    t_vhs = jnp.broadcast_to(
+        t_emit.transpose(0, 2, 1)[:, None], (2, v, hop, s)
+    )
+
+    new_state = FdState(
+        conv_history=conv_history,
+        resp=resp,
+        target_resp=target_resp,
+        input_blocks=input_blocks,
+        out_overlap=out_overlap,
+        target_out_overlap=target_out_overlap,
+        cov=cov,
+        cross=cross,
+    )
+    outputs = HopOutputs(
+        out_a=out_vhs[0] if config.run_a else None,
+        out_b=out_vhs[1] if config.run_b else None,
+        out_a_t=t_vhs[0],
+        out_b_t=t_vhs[1],
+    )
+    return new_state, outputs

@@ -67,32 +67,13 @@ def _spectral_norm(mat: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(jnp.linalg.eigvalsh(mat)))
 
 
-def process_hop(
-    config: ApVastConfig,
-    plan: ApVastPlan,
-    state: ApVastState,
-    hop_a: jax.Array,
-    hop_b: jax.Array,
-    mic_axis: str | None = None,
-) -> tuple[ApVastState, HopOutputs]:
-    """One hop. ``mic_axis``: when running inside ``shard_map`` with the
-    microphone axis sharded over a mesh axis of that name, the statistics
-    accumulation psums partial (R, r) over it — the only cross-device
-    communication in the whole hop (survey §5 'distributed backend')."""
-    dtype = jnp.dtype(config.dtype)
-    hop, block = config.hop, config.block_size
+def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
+    """Stage 1: streaming RIR convolution (ref apvast.py:167-194), shared
+    by the time-domain and frequency-domain engines."""
+    hop = config.hop
     nf = config.fir_fft_size
-    j, s, v = config.filter_length, config.num_srcs, config.num_eigenvectors
-    # Local microphone count: equals config.num_mics unless the mic axis
-    # is sharded (shard_map hands each device its mic block).
-    m = state.resp.shape[1]
-    win = plan.window
-
-    # ---- 1. streaming RIR convolution (ref apvast.py:167-194) ----------
-    hops = jnp.stack([hop_a, hop_b]).astype(dtype)  # (2, hop)
-    segments = jnp.concatenate([state.conv_history, hops], axis=-1)  # (2, nf)
+    segments = jnp.concatenate([conv_history, hops], axis=-1)  # (2, nf)
     seg_spec = jnp.fft.rfft(segments, axis=-1)  # (2, nf/2+1)
-
     path_spec = (
         plan.rir_spec[jnp.asarray(_PATH_RIR)]
         * seg_spec[jnp.asarray(_PATH_SIGNAL)][:, None, None, :]
@@ -100,12 +81,20 @@ def process_hop(
     new_resp = irfft_batched(path_spec, nf)[..., nf - hop :]
     tgt_path_spec = plan.target_rir_spec * seg_spec[:, None, :]  # (2, m, ·)
     new_target = irfft_batched(tgt_path_spec, nf)[..., nf - hop :]
+    return (
+        segments[:, hop:],
+        slide(resp, new_resp),
+        slide(target_resp, new_target),
+    )
 
-    resp = slide(state.resp, new_resp)
-    target_resp = slide(state.target_resp, new_target)
-    conv_history = segments[:, hop:]
 
-    # ---- 2. weighted target signals (ref apvast.py:197-235) ------------
+def weighted_spectra(config, plan, resp, target_resp):
+    """Stages 2+3 (spectral part): WOLA analysis of the target and
+    loudspeaker responses, perceptual weighting, zone gating
+    (ref apvast.py:197-209,237-262). Returns (t_spec_weighted, r_spec
+    weighted+gated, weighting)."""
+    dtype = jnp.dtype(config.dtype)
+    win = plan.window
     t_spec = wola_analyze(win, target_resp)  # (2, m, bins) complex
     if config.perceptual:
         weighting = perceptual_gain(
@@ -120,12 +109,6 @@ def process_hop(
     else:
         weighting = jnp.ones(t_spec.shape, dtype=dtype)  # apvast.py:325-327
 
-    wt_spec = t_spec * weighting
-    new_wt = wola_synthesize(win, wt_spec, block)
-    wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
-    wtarget_stat = slide(state.wtarget_stat, wt_emit)
-
-    # ---- 3. weighted loudspeaker responses (ref apvast.py:237-311) -----
     r_spec = wola_analyze(win, resp)  # (4, m, s, bins)
     # Zone run flags gate by *signal*: paths 0,1 carry signal A, paths 2,3
     # signal B (apvast.py:245-255). Static mask folds into the constants.
@@ -134,6 +117,41 @@ def process_hop(
     )
     r_spec = r_spec * gate[:, None, None, None]
     r_spec = r_spec * weighting[jnp.asarray(_PATH_ZONE)][:, :, None, :]
+    return t_spec * weighting, r_spec, weighting
+
+
+def process_hop(
+    config: ApVastConfig,
+    plan: ApVastPlan,
+    state: ApVastState,
+    hop_a: jax.Array,
+    hop_b: jax.Array,
+    mic_axis: str | None = None,
+) -> tuple[ApVastState, HopOutputs]:
+    """One hop. ``mic_axis``: when running inside ``shard_map`` with the
+    microphone axis sharded over a mesh axis of that name, the statistics
+    accumulation psums partial (R, r) over it — the only cross-device
+    communication in the whole hop (survey §5 'distributed backend')."""
+    dtype = jnp.dtype(config.dtype)
+    hop, block = config.hop, config.block_size
+    j, s, v = config.filter_length, config.num_srcs, config.num_eigenvectors
+    # Local microphone count: equals config.num_mics unless the mic axis
+    # is sharded (shard_map hands each device its mic block).
+    m = state.resp.shape[1]
+    win = plan.window
+
+    # ---- 1. streaming RIR convolution (ref apvast.py:167-194) ----------
+    hops = jnp.stack([hop_a, hop_b]).astype(dtype)  # (2, hop)
+    conv_history, resp, target_resp = convolve_inputs(
+        config, plan, state.conv_history, state.resp, state.target_resp, hops
+    )
+
+    # ---- 2+3. perceptual weighting of target and responses -------------
+    wt_spec, r_spec, weighting = weighted_spectra(config, plan, resp, target_resp)
+    new_wt = wola_synthesize(win, wt_spec, block)
+    wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
+    wtarget_stat = slide(state.wtarget_stat, wt_emit)
+
     new_wr = wola_synthesize(win, r_spec, block)
     wresp_overlap, wr_emit = wola_overlap_add(state.wresp_overlap, new_wr, hop)
     wresp_stat = slide(state.wresp_stat, wr_emit)

@@ -2,6 +2,7 @@
 offline VAST baselines (BACC / variable span / pressure matching)."""
 
 from apvast_tpu.models.apvast import ApVast
+from apvast_tpu.models.apvast_fd import ApVastFD
 from apvast_tpu.models.vast_offline import vast_offline
 
-__all__ = ["ApVast", "vast_offline"]
+__all__ = ["ApVast", "ApVastFD", "vast_offline"]

@@ -50,3 +50,26 @@ def jdiag(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
 # Batched over a leading pencil axis: used to solve both zones (and any
 # number of frames / subbands / hyperparameter grid points) in one XLA call.
 jdiag_batched = jax.vmap(jdiag, in_axes=(0, 0, None))
+
+
+def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
+    """Joint diagonalization of a complex Hermitian-PSD pencil.
+
+    The frequency-domain engine's per-bin analog of :func:`jdiag`: the
+    S x S spatial covariance pencils of each STFT bin are complex
+    Hermitian, so whitening uses conjugate transposes. Contract:
+    ``U^H A U = diag(d)`` (d real, descending), ``U^H B_reg U = I``.
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    chol = jnp.linalg.cholesky(B + reg * eye)
+    half = solve_triangular(chol, A, lower=True)
+    white = solve_triangular(chol, half.conj().T, lower=True).conj().T
+    white = 0.5 * (white + white.conj().T)
+    d, v = jnp.linalg.eigh(white)  # ascending, d real
+    u = solve_triangular(chol.conj().T, v, lower=False)
+    return u[:, ::-1], d[::-1]
+
+
+# Batched over (zones x bins) — the FD engine's workhorse.
+jdiag_hermitian_batched = jax.vmap(jdiag_hermitian, in_axes=(0, 0, None))
