@@ -93,6 +93,23 @@ class TargetFilterVariant(enum.Enum):
     PER_ZONE = "per_zone"
 
 
+class GevdSolver(enum.Enum):
+    """How the per-hop generalized eigenproblem is solved.
+
+    EIGH: exact dense eigendecomposition after Cholesky whitening — the
+    reference-faithful path (parity mode; also the only choice when all
+    JL eigenpairs are required, e.g. output_spans up to JL).
+
+    SUBSPACE: blocked subspace iteration for the top
+    num_eigenvectors (+ oversampling) pairs — MXU-native, several times
+    faster at JL >= several hundred, acoustically indistinguishable on
+    the bundled scene (see ops/jdiag.jdiag_topk).
+    """
+
+    EIGH = "eigh"
+    SUBSPACE = "subspace"
+
+
 class ThresholdMethod(enum.Enum):
     """Threshold-of-hearing curve for the perceptual model
     (Matlab/ControlMethods/interpolatedThresholdOfHearing.m:11-21)."""
@@ -146,6 +163,14 @@ class ApVastConfig:
     weighting_norm: WeightingNorm = WeightingNorm.UNIT_ONESIDED
     target_filter: TargetFilterVariant = TargetFilterVariant.SHARED_A
     threshold_method: ThresholdMethod = ThresholdMethod.ISO226_2003
+    # GEVD solver selection (see GevdSolver).
+    gevd_solver: GevdSolver = GevdSolver.EIGH
+    # SUBSPACE solver: extra subspace columns beyond num_eigenvectors, and
+    # power-iteration count per hop. The subspace is carried across hops
+    # (warm start), so a modest per-hop count converges after the normal
+    # stream warmup.
+    subspace_oversample: int = 78
+    subspace_iters: int = 8
     # MATLAB-style multi-solution mode (apVast.m:113-120): when set, the
     # engine still diagonalizes with num_eigenvectors = max(output_spans)
     # but synthesizes outputs only for these span ranks (1-based), instead
@@ -199,6 +224,11 @@ class ApVastConfig:
     def jl(self) -> int:
         """Dimension of the spatial correlation matrices (J * L)."""
         return self.filter_length * self.num_srcs
+
+    @property
+    def subspace_rank(self) -> int:
+        """Columns of the iterated subspace (SUBSPACE solver)."""
+        return min(self.num_eigenvectors + self.subspace_oversample, self.jl)
 
     @property
     def num_solutions(self) -> int:

@@ -23,13 +23,14 @@ import jax.numpy as jnp
 
 from apvast_tpu.config import (
     ApVastConfig,
+    GevdSolver,
     RegularizationVariant,
     ToeplitzVariant,
 )
 from apvast_tpu.engine.plan import ApVastPlan
 from apvast_tpu.engine.state import ApVastState
 from apvast_tpu.ops.framing import frame_buffer
-from apvast_tpu.ops.jdiag import jdiag_batched
+from apvast_tpu.ops.jdiag import jdiag_batched, jdiag_topk_batched
 from apvast_tpu.ops.synthesis import variable_span_filters
 from apvast_tpu.ops.wola import (
     irfft_batched,
@@ -209,7 +210,15 @@ def process_hop(
         a_stack = a_stack.at[1].set(eye)
         b_stack = b_stack.at[1].set(eye)
 
-    u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)
+    gevd_q = state.gevd_q
+    if config.gevd_solver is GevdSolver.SUBSPACE:
+        # Warm-started blocked subspace iteration for the top eigenpairs
+        # (ops/jdiag.jdiag_topk) — MXU matmuls instead of a dense eigh.
+        u, lam, gevd_q = jdiag_topk_batched(
+            a_stack, b_stack, reg, v, config.subspace_iters, state.gevd_q
+        )  # (2, jl, v), (2, v), (2, jl, k)
+    else:
+        u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)
     w_family = jax.vmap(variable_span_filters, in_axes=(0, 0, 0, None, None))(
         u, lam, r_vecs, config.mu, v
     )  # (2, v, jl)
@@ -260,6 +269,7 @@ def process_hop(
         input_blocks=input_blocks,
         out_overlap=out_overlap,
         target_out_overlap=target_out_overlap,
+        gevd_q=gevd_q,
     )
     outputs = HopOutputs(
         out_a=out_vhs[0] if config.run_a else None,

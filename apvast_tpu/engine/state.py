@@ -16,7 +16,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from apvast_tpu.config import ApVastConfig
+from apvast_tpu.config import ApVastConfig, GevdSolver
 
 
 @jax.tree_util.register_dataclass
@@ -50,6 +50,9 @@ class ApVastState:
     # spectra (apvast.py:467-496), so all copies stay identical; a single
     # buffer reproduces the outputs exactly.
     target_out_overlap: jax.Array
+    # Carried GEVD subspace for the SUBSPACE solver, (2, jl, subspace_rank)
+    # — warm-starts the next hop's iteration. None under the EIGH solver.
+    gevd_q: jax.Array | None = None
 
 
 def init_state(
@@ -88,6 +91,14 @@ def init_state(
         resp = jnp.zeros(resp_shape, dtype=dtype)
         target_resp = jnp.zeros(tgt_shape, dtype=dtype)
 
+    gevd_q = None
+    if config.gevd_solver is GevdSolver.SUBSPACE:
+        # Deterministic full-rank cold-start subspace; the per-hop QR
+        # iterations orthonormalize and converge it during stream warmup.
+        gevd_q = jax.random.normal(
+            jax.random.key(7), (2, config.jl, config.subspace_rank), dtype=dtype
+        )
+
     return ApVastState(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
         resp=resp,
@@ -99,4 +110,5 @@ def init_state(
         input_blocks=jnp.zeros((2, block), dtype=dtype),
         out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
         target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
+        gevd_q=gevd_q,
     )

@@ -46,6 +46,7 @@ _STATE_MIC_DIM = {
     "input_blocks": None,
     "out_overlap": None,
     "target_out_overlap": None,
+    "gevd_q": None,
 }
 _PLAN_MIC_DIM = {
     "window": None,

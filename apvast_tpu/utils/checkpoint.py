@@ -22,10 +22,11 @@ from apvast_tpu.engine.state import ApVastState
 
 
 def save_state(path: str, state: ApVastState) -> None:
-    """Write all state leaves to one ``.npz`` file."""
+    """Write all state leaves to one ``.npz`` file (None fields skipped)."""
     arrays = {
         f.name: np.asarray(getattr(state, f.name))
         for f in dataclasses.fields(state)
+        if getattr(state, f.name) is not None
     }
     np.savez(path, **arrays)
 
@@ -39,7 +40,10 @@ def load_state(path: str, config: ApVastConfig | None = None) -> ApVastState:
     if config is not None:
         expected = init_shapes(config)
         for name, shape in expected.items():
-            got = getattr(state, name).shape
+            leaf = getattr(state, name, None)
+            if shape is None:
+                continue
+            got = None if leaf is None else leaf.shape
             if got != shape:
                 raise ValueError(
                     f"checkpoint field {name} has shape {got}, config expects {shape}"
@@ -53,5 +57,6 @@ def init_shapes(config: ApVastConfig) -> dict[str, tuple[int, ...]]:
 
     ref = jax.eval_shape(lambda: init_state(config))
     return {
-        f.name: getattr(ref, f.name).shape for f in dataclasses.fields(ref)
+        f.name: (None if getattr(ref, f.name) is None else getattr(ref, f.name).shape)
+        for f in dataclasses.fields(ref)
     }
