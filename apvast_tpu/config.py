@@ -171,6 +171,13 @@ class ApVastConfig:
     # stream warmup.
     subspace_oversample: int = 78
     subspace_iters: int = 8
+    # Orthogonalization inside the subspace iteration: "qr" (Householder)
+    # or "cholqr2" (matmul-only CholeskyQR2 — MXU-friendly).
+    subspace_orth: str = "cholqr2"
+    # Use the fused Pallas framing+covariance kernel for the statistics
+    # (float32 only; frames never materialized, cross-correlation vector
+    # via FFT). Falls back to interpret mode off-TPU.
+    use_pallas_statistics: bool = False
     # MATLAB-style multi-solution mode (apVast.m:113-120): when set, the
     # engine still diagonalizes with num_eigenvectors = max(output_spans)
     # but synthesizes outputs only for these span ranks (1-based), instead

@@ -158,22 +158,53 @@ def process_hop(
     wresp_stat = slide(state.wresp_stat, wr_emit)
 
     # ---- 4. statistics (ref apvast.py:329-364) -------------------------
-    frames = frame_buffer(wresp_stat, j, config.toeplitz_variant)
-    # (4, m, s, k, j) -> Y with rows = source-major reversed taps.
-    k = frames.shape[-2]
-    y = (
-        jnp.flip(frames, axis=-1)
-        .transpose(0, 1, 2, 4, 3)
-        .reshape(4, m, s * j, k)
-    )
-    r_mats = jnp.einsum("pmak,pmbk->pab", y, y, preferred_element_type=dtype)
-    d = wtarget_stat[..., -k:]  # (2, m, k) target alignment, both variants
-    r_vecs = jnp.einsum(
-        "zmak,zmk->za",
-        y[jnp.asarray([0, 3])],  # bright paths A->A and B->B
-        d,
-        preferred_element_type=dtype,
-    )  # (2, s*j)
+    if config.use_pallas_statistics:
+        if dtype != jnp.float32:
+            raise ValueError("use_pallas_statistics requires dtype=float32")
+        from apvast_tpu.ops.pallas.statistics import covariance_pallas
+
+        # PYTHON Toeplitz variant == frames of the sample-J-deleted buffer
+        # (see ops/framing.py); MATLAB variant frames the buffer as-is.
+        if config.toeplitz_variant is ToeplitzVariant.PYTHON:
+            buf_eff = jnp.concatenate(
+                [wresp_stat[..., :j], wresp_stat[..., j + 1 :]], axis=-1
+            )
+        else:
+            buf_eff = wresp_stat
+        r_mats = covariance_pallas(
+            buf_eff, j, interpret=(jax.default_backend() == "cpu")
+        )
+        # Cross-correlation vector via FFT instead of frames:
+        # r[(s, i)] = sum_m sum_k buf_eff[J-1-i+k] d[k].
+        n_eff = buf_eff.shape[-1]
+        k = n_eff - j + 1
+        nfft = 1
+        while nfft < n_eff:
+            nfft *= 2
+        d = wtarget_stat[..., -k:]  # (2, m, k) target alignment
+        buf_spec = rfft_batched(buf_eff[jnp.asarray([0, 3])], nfft)
+        d_spec = rfft_batched(d, nfft)
+        corr = irfft_batched(
+            buf_spec * jnp.conj(d_spec)[:, :, None, :], nfft
+        )[..., :j]  # (2, m, s, j): corr[tau] at tau = J-1-i
+        r_vecs = jnp.flip(corr, axis=-1).sum(axis=1).reshape(2, s * j)
+    else:
+        frames = frame_buffer(wresp_stat, j, config.toeplitz_variant)
+        # (4, m, s, k, j) -> Y with rows = source-major reversed taps.
+        k = frames.shape[-2]
+        y = (
+            jnp.flip(frames, axis=-1)
+            .transpose(0, 1, 2, 4, 3)
+            .reshape(4, m, s * j, k)
+        )
+        r_mats = jnp.einsum("pmak,pmbk->pab", y, y, preferred_element_type=dtype)
+        d = wtarget_stat[..., -k:]  # (2, m, k) target alignment, both variants
+        r_vecs = jnp.einsum(
+            "zmak,zmk->za",
+            y[jnp.asarray([0, 3])],  # bright paths A->A and B->B
+            d,
+            preferred_element_type=dtype,
+        )  # (2, s*j)
     if mic_axis is not None:
         # Mic axis is sharded: the einsums above contracted only the local
         # microphones; all-reduce the partial statistics over ICI.
@@ -215,7 +246,13 @@ def process_hop(
         # Warm-started blocked subspace iteration for the top eigenpairs
         # (ops/jdiag.jdiag_topk) — MXU matmuls instead of a dense eigh.
         u, lam, gevd_q = jdiag_topk_batched(
-            a_stack, b_stack, reg, v, config.subspace_iters, state.gevd_q
+            a_stack,
+            b_stack,
+            reg,
+            v,
+            config.subspace_iters,
+            state.gevd_q,
+            config.subspace_orth,
         )  # (2, jl, v), (2, v), (2, jl, k)
     else:
         u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)

@@ -52,6 +52,18 @@ def jdiag(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
 jdiag_batched = jax.vmap(jdiag, in_axes=(0, 0, None))
 
 
+def _cholqr2(q: jax.Array) -> jax.Array:
+    """CholeskyQR2 orthonormalization — matmul + small Cholesky only, so
+    the whole subspace iteration stays on the MXU (no Householder panels).
+    Two passes give QR-level orthogonality for moderately conditioned
+    blocks, which per-iteration re-orthogonalization guarantees here."""
+    for _ in range(2):
+        gram = q.T @ q
+        chol = jnp.linalg.cholesky(gram)
+        q = solve_triangular(chol, q.T, lower=True).T
+    return q
+
+
 def jdiag_topk(
     A: jax.Array,
     B: jax.Array,
@@ -59,6 +71,7 @@ def jdiag_topk(
     num_vectors: int,
     iters: int,
     q_init: jax.Array,
+    orth: str = "qr",
 ):
     """Top-k generalized eigenpairs by blocked subspace iteration.
 
@@ -88,9 +101,12 @@ def jdiag_topk(
     white = solve_triangular(chol, half.T, lower=True).T
     white = 0.5 * (white + white.T)
 
+    orthonormalize = _cholqr2 if orth == "cholqr2" else (
+        lambda q: jnp.linalg.qr(q)[0]
+    )
+
     def body(q, _):
-        q, _ = jnp.linalg.qr(white @ q)
-        return q, None
+        return orthonormalize(white @ q), None
 
     q, _ = jax.lax.scan(body, q_init, None, length=iters)
     small = q.T @ (white @ q)
@@ -101,7 +117,9 @@ def jdiag_topk(
     return u, d, ritz
 
 
-jdiag_topk_batched = jax.vmap(jdiag_topk, in_axes=(0, 0, None, None, None, 0))
+jdiag_topk_batched = jax.vmap(
+    jdiag_topk, in_axes=(0, 0, None, None, None, 0, None)
+)
 
 
 def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):

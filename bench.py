@@ -30,7 +30,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.config import ApVastConfig, GevdSolver
     from apvast_tpu.engine import build_plan, init_state, run_stream
     from apvast_tpu.utils import load_reference_rirs
 
@@ -49,6 +49,10 @@ def main() -> int:
         sampling_rate=48000,
         perceptual=False,  # matches the measured baseline configuration
         dtype="float32",
+        # Performance mode: warm-started top-V subspace GEVD, validated to
+        # match the exact solver's contrast at every rank (< 0.1 dB,
+        # tests/test_subspace_solver.py).
+        gevd_solver=GevdSolver.SUBSPACE,
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))

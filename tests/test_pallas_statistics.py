@@ -1,0 +1,44 @@
+"""Pallas fused statistics kernel vs the XLA framing+einsum path
+(interpret mode on CPU; the compiled path runs on TPU in bench)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from apvast_tpu.config import ToeplitzVariant
+from apvast_tpu.ops.framing import frame_buffer
+from apvast_tpu.ops.pallas.statistics import covariance_pallas
+
+
+def _xla_covariance(buffers, j, variant):
+    frames = frame_buffer(buffers, j, variant)
+    p, m, s, k, _ = frames.shape
+    y = jnp.flip(frames, axis=-1).transpose(0, 1, 2, 4, 3).reshape(p, m, s * j, k)
+    return jnp.einsum("pmak,pmbk->pab", y, y)
+
+
+def test_matches_xla_matlab_variant(rng):
+    buf = jnp.asarray(
+        rng.standard_normal((2, 3, 2, 64)).astype(np.float32)
+    )
+    j = 8
+    want = _xla_covariance(buf, j, ToeplitzVariant.MATLAB)
+    got = covariance_pallas(buf, j, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-4)
+
+
+def test_matches_xla_python_variant(rng):
+    """PYTHON variant = caller deletes buffer sample J before the kernel."""
+    buf = jnp.asarray(
+        rng.standard_normal((4, 2, 3, 50)).astype(np.float32)
+    )
+    j = 6
+    want = _xla_covariance(buf, j, ToeplitzVariant.PYTHON)
+    deleted = jnp.concatenate([buf[..., :j], buf[..., j + 1 :]], axis=-1)
+    got = covariance_pallas(deleted, j, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-4)
+
+
+def test_symmetry(rng):
+    buf = jnp.asarray(rng.standard_normal((1, 2, 2, 40)).astype(np.float32))
+    r = np.asarray(covariance_pallas(buf, 5, interpret=True))
+    np.testing.assert_allclose(r[0], r[0].T, rtol=1e-5, atol=1e-5)
