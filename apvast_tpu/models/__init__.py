@@ -3,6 +3,18 @@ offline VAST baselines (BACC / variable span / pressure matching)."""
 
 from apvast_tpu.models.apvast import ApVast
 from apvast_tpu.models.apvast_fd import ApVastFD
-from apvast_tpu.models.vast_offline import vast_offline
+from apvast_tpu.models.vast_offline import (
+    acc,
+    pressure_matching,
+    vast_offline,
+    vast_offline_sweep,
+)
 
-__all__ = ["ApVast", "ApVastFD", "vast_offline"]
+__all__ = [
+    "ApVast",
+    "ApVastFD",
+    "acc",
+    "pressure_matching",
+    "vast_offline",
+    "vast_offline_sweep",
+]

@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from apvast_tpu.ops.jdiag import jdiag
-from apvast_tpu.ops.synthesis import variable_span_filters
+from apvast_tpu.ops.synthesis import (
+    variable_span_filters,
+    variable_span_filters_mu_grid,
+)
 
 
 def _lagged_rir_frames(
@@ -111,3 +114,72 @@ def vast_offline(
     # reference's (filter_length, num_srcs) output (vast.m:98).
     family = family.reshape(num_eigenvectors, s, filter_length).transpose(0, 2, 1)
     return family if return_family else family[-1]
+
+
+def acc(
+    rir_bright: jax.Array,
+    rir_dark: jax.Array,
+    filter_length: int,
+    modeling_delay: int,
+    reference_index: int,
+    num_steps: int = 1000,
+    reg: float = 0.0,
+):
+    """The BACC (brightness-/acoustic-contrast-control) endpoint: rank-1
+    span with mu = 1 (vast.m:26-31, apVast.m:113-122)."""
+    return vast_offline(
+        rir_bright, rir_dark, filter_length, modeling_delay,
+        reference_index, num_eigenvectors=1, mu=1.0,
+        num_steps=num_steps, reg=reg,
+    )
+
+
+def pressure_matching(
+    rir_bright: jax.Array,
+    rir_dark: jax.Array,
+    filter_length: int,
+    modeling_delay: int,
+    reference_index: int,
+    num_steps: int = 1000,
+    reg: float = 0.0,
+):
+    """The pressure-matching endpoint: full-rank span with mu = 1
+    (vast.m:26-31, apVast.m:113-122)."""
+    full_rank = filter_length * rir_bright.shape[1]
+    return vast_offline(
+        rir_bright, rir_dark, filter_length, modeling_delay,
+        reference_index, num_eigenvectors=full_rank, mu=1.0,
+        num_steps=num_steps, reg=reg,
+    )
+
+
+def vast_offline_sweep(
+    rir_bright: jax.Array,
+    rir_dark: jax.Array,
+    filter_length: int,
+    modeling_delay: int,
+    reference_index: int,
+    num_eigenvectors: int,
+    mu_grid: jax.Array,
+    num_steps: int = 1000,
+    reg: float = 0.0,
+):
+    """Full (mu x span-rank) design surface from one GEVD.
+
+    The TPU-scale hyperparameter sweep (BASELINE.json config 5): returns
+    (len(mu_grid), V, filter_length, num_srcs) — every mu and every span
+    rank at once; the ACC endpoint is [:, 0] with mu = 1, pressure
+    matching is [:, -1] at full rank.
+    """
+    rb, rd, rvec = vast_statistics(
+        rir_bright, rir_dark, filter_length, modeling_delay,
+        reference_index, num_steps,
+    )
+    u, lam = jdiag(rb, rd, reg)
+    surface = variable_span_filters_mu_grid(
+        u, lam, rvec, jnp.asarray(mu_grid, dtype=rvec.dtype), num_eigenvectors
+    )
+    s = rir_bright.shape[1]
+    return surface.reshape(
+        len(mu_grid), num_eigenvectors, s, filter_length
+    ).transpose(0, 1, 3, 2)

@@ -42,6 +42,28 @@ def variable_span_filters(
     return jnp.cumsum(coeffs[:, None] * u[:, :v].T, axis=0)
 
 
+def variable_span_filters_mu_grid(
+    u: jax.Array,
+    eigenvalues: jax.Array,
+    r: jax.Array,
+    mu_grid: jax.Array,
+    num_eigenvectors: int,
+) -> jax.Array:
+    """The whole (mu x rank) filter surface from ONE eigendecomposition.
+
+    The trade-off parameter mu enters only the per-eigenpair scaling
+    (Python/apvast.py:410), so a full hyperparameter sweep costs one
+    broadcasted divide + cumsum on top of a single GEVD — the reference
+    would re-run the engine per mu (BASELINE.json sweep config 5).
+
+    Returns: (len(mu_grid), V, JL).
+    """
+    v = num_eigenvectors
+    proj = u[:, :v].T @ r  # (V,)
+    coeffs = proj[None, :] / (eigenvalues[None, :v] + mu_grid[:, None])
+    return jnp.cumsum(coeffs[..., None] * u[:, :v].T[None], axis=1)
+
+
 def spans_from_family(w_family: jax.Array, spans) -> jax.Array:
     """Select specific spans out of the rank family — the MATLAB
     multi-solution contract (apVast.m:113-120) where ``spans`` is a list of

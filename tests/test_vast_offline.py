@@ -85,3 +85,48 @@ def test_filter_endpoints(rng):
     assert np.all(np.isfinite(np.asarray(family)))
     # Later spans must not be identical to rank-1 (the family is strict).
     assert not np.allclose(np.asarray(family[0]), np.asarray(family[-1]))
+
+
+def test_mu_grid_sweep_matches_single(rng):
+    """The (mu x rank) surface equals per-mu single designs."""
+    import jax.numpy as jnp
+
+    from apvast_tpu.models.vast_offline import vast_offline_sweep
+
+    rl, s, m, j = 30, 2, 2, 6
+    rir_b = rng.standard_normal((rl, s, m))
+    rir_d = rng.standard_normal((rl, s, m))
+    mu_grid = np.array([0.3, 1.0, 3.0])
+    surface = vast_offline_sweep(
+        jnp.asarray(rir_b), jnp.asarray(rir_d), j, 2, 1,
+        num_eigenvectors=j * s, mu_grid=mu_grid, num_steps=40, reg=1e-10,
+    )
+    assert surface.shape == (3, j * s, j, s)
+    for gi, mu in enumerate(mu_grid):
+        single = vast_offline(
+            jnp.asarray(rir_b), jnp.asarray(rir_d), j, 2, 1,
+            num_eigenvectors=j * s, mu=float(mu), num_steps=40, reg=1e-10,
+            return_family=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(surface[gi]), np.asarray(single), rtol=1e-9, atol=1e-11
+        )
+
+
+def test_acc_and_pressure_matching_endpoints(rng):
+    from apvast_tpu.models.vast_offline import acc, pressure_matching
+    import jax.numpy as jnp
+
+    rl, s, m, j = 30, 2, 2, 6
+    rir_b = rng.standard_normal((rl, s, m))
+    rir_d = rng.standard_normal((rl, s, m))
+    w_acc = acc(jnp.asarray(rir_b), jnp.asarray(rir_d), j, 2, 0, num_steps=40, reg=1e-10)
+    w_pm = pressure_matching(
+        jnp.asarray(rir_b), jnp.asarray(rir_d), j, 2, 0, num_steps=40, reg=1e-10
+    )
+    assert w_acc.shape == (j, s) and w_pm.shape == (j, s)
+    want_acc = vast_offline(
+        jnp.asarray(rir_b), jnp.asarray(rir_d), j, 2, 0,
+        num_eigenvectors=1, mu=1.0, num_steps=40, reg=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(w_acc), np.asarray(want_acc))
