@@ -59,8 +59,10 @@ def main() -> int:
     val_b = rir_b + scale * np.random.default_rng(98).standard_normal(rir_b.shape)
 
     filter_length, srcs = 100, rir_a.shape[1]
-    jl = filter_length * srcs
-    spans = (1, jl // 2 // 2, 50)  # keep GEVD at V=50 for runtime
+    # The reference demo uses spans [1, JL/2, JL] (main.m:38); V = 200
+    # keeps the eigendecomposition affordable while spanning BACC ->
+    # mid-span -> near-pressure-matching.
+    spans = (1, 50, 200)
     model = ApVast(
         block_size=1600,
         rir_a=rir_a,
