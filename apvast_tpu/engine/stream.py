@@ -40,6 +40,39 @@ def run_stream(
     return jax.lax.scan(step, state, (hops_a, hops_b))
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def run_stream_with_metrics(
+    config: ApVastConfig,
+    plan: ApVastPlan,
+    state: ApVastState,
+    signal_a: jax.Array,
+    signal_b: jax.Array,
+    rir_a: jax.Array,
+    rir_b: jax.Array,
+):
+    """Like :func:`run_stream` but also emits per-hop on-device quality
+    metrics (contrast / NMSE / RMS per span) — the structured analog of
+    the reference driver's ad-hoc per-hop prints (Matlab/main.m:52-62).
+
+    Returns (final_state, outputs, metrics) where every metrics field has
+    a leading num_hops axis.
+    """
+    from apvast_tpu.observability import hop_metrics
+
+    hop = config.hop
+    num_hops = signal_a.shape[0] // hop
+    hops_a = signal_a[: num_hops * hop].reshape(num_hops, hop)
+    hops_b = signal_b[: num_hops * hop].reshape(num_hops, hop)
+
+    def step(carry: ApVastState, xs):
+        ha, hb = xs
+        carry, out = process_hop(config, plan, carry, ha, hb)
+        return carry, (out, hop_metrics(out, rir_a, rir_b))
+
+    state, (outs, metrics) = jax.lax.scan(step, state, (hops_a, hops_b))
+    return state, outs, metrics
+
+
 def stitch_outputs(stacked: jax.Array) -> jax.Array:
     """Concatenate scanned per-hop outputs into continuous signals.
 

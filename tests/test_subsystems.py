@@ -155,3 +155,24 @@ def test_detectability_metric_scaling():
     d_loud = np.asarray(detectability(jnp.asarray(loud), jnp.asarray(masker), tables))
     assert np.all(d_loud > d_quiet)
     np.testing.assert_allclose(d_loud, d_quiet * 1e8, rtol=1e-6)
+
+
+def test_run_stream_with_metrics(small_scene):
+    from apvast_tpu.engine.stream import run_stream_with_metrics
+
+    cfg, rir_a, rir_b = small_scene
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    rng = np.random.default_rng(6)
+    sig_a = jnp.asarray(rng.standard_normal(cfg.hop * 8))
+    sig_b = jnp.asarray(rng.standard_normal(cfg.hop * 8))
+    _, outs, metrics = run_stream_with_metrics(
+        cfg, plan, state, sig_a, sig_b, jnp.asarray(rir_a), jnp.asarray(rir_b)
+    )
+    v = cfg.num_eigenvectors
+    assert metrics.contrast_a_db.shape == (8, v)
+    assert metrics.nmse_b.shape == (8, v)
+    tail = np.asarray(metrics.contrast_a_db)[4:]
+    assert np.all(np.isfinite(tail))
+    # Steady-state per-hop contrast should be positive at the BACC end.
+    assert tail[:, 0].mean() > 0.0
