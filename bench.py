@@ -7,26 +7,38 @@ rirs.mat (800 taps x 8 loudspeakers x 9 mics), block 1600 / hop 800 @
 mu = 1 — the reference's `make_python_test.m` hyperparameters, measured at
 ~2.2 s/hop (132x slower than real time) on the 1-core CPU reference.
 
-Runs the float32 engine on the real TPU chip, streaming hop by hop (the
-online serving pattern). Synchronization note: on the axon backend
-``block_until_ready`` does not actually wait, so timing is taken over a
-jitted multi-hop ``lax.scan`` bounded by a scalar device->host fetch.
-
-Prints ONE JSON line:
+Runs the float32 production engine (subspace GEVD solver, validated
+contrast-exact vs the reference solver). Prints ONE JSON line:
   {"metric": "rtf_filter_updates", "value": <x real time>,
    "unit": "x_realtime", "vs_baseline": <speedup over reference>}
+
+Robustness: the TPU tunnel in this environment can wedge on unsupported
+ops, so the measurement runs in a watchdogged child process; if the TPU
+attempt fails or hangs, a CPU child provides the fallback number (the
+"device" key records which one produced the result).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+HOP_SECONDS = 800 / 48000.0
+REFERENCE_RTF = 1.0 / 132.0  # BASELINE.md: 132x slower than real time
 
 
-def main() -> int:
+def measure(device: str) -> int:
+    """Child mode: run the measurement and print the JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -49,42 +61,27 @@ def main() -> int:
         sampling_rate=48000,
         perceptual=False,  # matches the measured baseline configuration
         dtype="float32",
-        # Performance mode: warm-started top-V subspace GEVD, validated to
-        # match the exact solver's contrast at every rank (< 0.1 dB,
-        # tests/test_subspace_solver.py).
         gevd_solver=GevdSolver.SUBSPACE,
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    num_hops = 32
+    num_hops = 16 if device == "cpu" else 32
     sig_a = jnp.asarray(rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32)
     sig_b = jnp.asarray(rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32)
 
     def run(state):
         state, outs = run_stream(cfg, plan, state, sig_a, sig_b)
-        # Scalar checksum forces real completion on the axon backend.
+        # Scalar checksum forces real completion (axon's block_until_ready
+        # does not actually wait).
         return state, jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
 
-    # Warmup/compile.
-    state1, chk = run(state)
-    chk_val = float(chk)
-    if not np.isfinite(chk_val):
-        print(
-            json.dumps(
-                {
-                    "metric": "rtf_filter_updates",
-                    "value": 0.0,
-                    "unit": "x_realtime",
-                    "vs_baseline": 0.0,
-                    "error": "non-finite outputs",
-                }
-            )
-        )
+    state1, chk = run(state)  # warmup/compile
+    if not np.isfinite(float(chk)):
+        print(json.dumps({"error": "non-finite outputs"}))
         return 1
 
-    # Timed runs (re-run the same scan; carry state so work is identical).
     reps = 3
     t0 = time.time()
     for _ in range(reps):
@@ -92,19 +89,59 @@ def main() -> int:
     float(chk)
     per_hop = (time.time() - t0) / (reps * num_hops)
 
-    hop_seconds = cfg.hop / cfg.sampling_rate  # 16.67 ms
-    rtf = hop_seconds / per_hop
-    reference_rtf = 1.0 / 132.0  # BASELINE.md: 132x slower than real time
+    rtf = HOP_SECONDS / per_hop
     print(
         json.dumps(
             {
                 "metric": "rtf_filter_updates",
                 "value": round(rtf, 3),
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf / reference_rtf, 1),
+                "vs_baseline": round(rtf / REFERENCE_RTF, 1),
+                "device": device,
             }
         )
     )
+    return 0
+
+
+def _try_child(device: str, timeout: float) -> dict | None:
+    env = dict(os.environ)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", device],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            data = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if "metric" in data:
+            return data
+    return None
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        return measure(sys.argv[2])
+
+    result = _try_child("tpu", timeout=480)
+    if result is None:
+        result = _try_child("cpu", timeout=900)
+    if result is None:
+        result = {
+            "metric": "rtf_filter_updates",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": "both TPU and CPU measurement children failed",
+        }
+    print(json.dumps(result))
     return 0
 
 
