@@ -127,3 +127,24 @@ def test_mic_only_mesh(scene_batch):
     np.testing.assert_allclose(
         np.asarray(got_out.out_a), np.asarray(ref_out.out_a), rtol=1e-9, atol=1e-11
     )
+
+
+def test_multi_scene_wrapper(scene_batch):
+    from apvast_tpu.models.multi_scene import MultiSceneApVast
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    cfg = _scene_config()
+    pairs = [
+        (synthetic_rirs(64, 4, 8, seed=70 + i), synthetic_rirs(64, 4, 8, seed=80 + i))
+        for i in range(2)
+    ]
+    mesh = make_mesh({"scene": 2, "mic": 4})
+    model = MultiSceneApVast(cfg, pairs, mesh=mesh)
+    assert model.num_scenes == 2
+    rng = np.random.default_rng(12)
+    for _ in range(2):
+        out = model.process_input_buffers(
+            rng.standard_normal((2, cfg.hop)), rng.standard_normal((2, cfg.hop))
+        )
+    assert out.out_a.shape == (2, cfg.num_eigenvectors, cfg.hop, cfg.num_srcs)
+    assert np.isfinite(np.asarray(out.out_a)).all()
