@@ -31,12 +31,20 @@ def save_state(path: str, state: ApVastState) -> None:
     np.savez(path, **arrays)
 
 
-def load_state(path: str, config: ApVastConfig | None = None) -> ApVastState:
+def load_state(
+    path: str,
+    config: ApVastConfig | None = None,
+    state_cls: type = ApVastState,
+) -> ApVastState:
     """Restore a state pytree; validates shapes against ``config`` if
-    given (a mismatched config would silently corrupt the stream)."""
+    given (a mismatched config would silently corrupt the stream).
+    ``state_cls`` selects the engine family (ApVastState or the
+    frequency-domain engine's FdState)."""
     data = np.load(path)
     fields = {name: jnp.asarray(data[name]) for name in data.files}
-    state = ApVastState(**fields)
+    state = state_cls(**fields)
+    if state_cls is not ApVastState:
+        return state
     if config is not None:
         expected = init_shapes(config)
         for name, shape in expected.items():

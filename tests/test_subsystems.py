@@ -176,3 +176,23 @@ def test_run_stream_with_metrics(small_scene):
     assert np.all(np.isfinite(tail))
     # Steady-state per-hop contrast should be positive at the BACC end.
     assert tail[:, 0].mean() > 0.0
+
+
+def test_fd_state_checkpoint_roundtrip(tmp_path):
+    """save_state/load_state also cover the FD engine's state family."""
+    from apvast_tpu.engine.fd_hop import FdState, init_fd_state
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(60, 3, 2, seed=3)
+    cfg = ApVastConfig.for_rirs(
+        rir_a, rir_a, block_size=64, filter_length=8, modeling_delay=2,
+        reference_index_a=0, reference_index_b=0, num_eigenvectors=3,
+        mu=1.0, statistics_buffer_length=17, sampling_rate=8000,
+        perceptual=False,
+    )
+    state = init_fd_state(cfg, key=jax.random.key(4))
+    path = os.path.join(tmp_path, "fd.npz")
+    save_state(path, state)
+    back = load_state(path, state_cls=FdState)
+    np.testing.assert_array_equal(np.asarray(back.cov), np.asarray(state.cov))
+    np.testing.assert_array_equal(np.asarray(back.resp), np.asarray(state.resp))
