@@ -6,7 +6,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from apvast_tpu.config import ApVastConfig
 from apvast_tpu.engine.hop import HopOutputs, process_hop

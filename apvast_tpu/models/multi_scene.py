@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from apvast_tpu.config import ApVastConfig
 from apvast_tpu.engine import build_plan, init_state
