@@ -108,3 +108,35 @@ def test_contrast_increases_with_rank(rng):
         pressure = predict_pressure(np.asarray(out_a[v])[tail], rir_a)
         errs.append(float(np.sum((pressure - target) ** 2) / np.sum(target**2)))
     assert errs[1] < errs[0], f"NMSE did not improve with rank: {errs}"
+
+
+def test_custom_hop_size(rng):
+    """hop_size != block/2 is parameterizable as in the Python reference
+    (apvast.py:51,93); WOLA perfect reconstruction is only guaranteed at
+    50% overlap (reference note apvast.py:93-94), but the engine must run
+    and stay finite."""
+    rir_a = synthetic_rirs(80, 3, 2, seed=31)
+    rir_b = synthetic_rirs(80, 3, 2, seed=32)
+    model = ApVast(
+        block_size=128,
+        rir_a=rir_a,
+        rir_b=rir_b,
+        filter_length=12,
+        modeling_delay=4,
+        reference_index_a=0,
+        reference_index_b=0,
+        number_of_eigenvectors=4,
+        mu=1.0,
+        statistics_buffer_length=96,
+        hop_size=32,  # 75% overlap
+        sampling_rate=8000,
+        perceptual=False,
+        key=jax.random.key(0),
+    )
+    assert model.config.hop == 32
+    for _ in range(4):
+        out_a, *_ = model.process_input_buffers(
+            rng.standard_normal(32), rng.standard_normal(32)
+        )
+    assert out_a.shape == (4, 32, 3)
+    assert np.isfinite(np.asarray(out_a)).all()
