@@ -1,0 +1,104 @@
+"""Real-time stream host: sound-card callbacks <-> the AP-VAST engine.
+
+Topology (all boundaries native lock-free rings, no locks or allocation
+on the audio thread):
+
+    audio in A --> HopFramer A \\
+    audio in B --> HopFramer B --> engine thread (jitted process_hop)
+                                    --> per-loudspeaker output rings
+                                          --> audio out callbacks
+
+The engine thread pops matched hop pairs, runs the compiled hop on the
+accelerator and pushes the selected span's loudspeaker feeds; the audio
+side only ever touches the native rings.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from apvast_tpu.runtime.native import HopFramer, RingBuffer
+
+
+class StreamHost:
+    """Drive a stateful engine (ApVast / ApVastFD) from streaming input.
+
+    Args:
+        model: object with ``process_input_buffers(hop_a, hop_b)``
+            returning (out_a, out_b, ...) shaped (spans, hop, srcs).
+        span_index: which span solution feeds the outputs.
+        backlog_hops: input buffering before drops are counted.
+    """
+
+    def __init__(self, model, span_index: int = -1, backlog_hops: int = 8):
+        self.model = model
+        self.span_index = span_index
+        cfg = model.config
+        self.hop = cfg.hop
+        self.num_srcs = cfg.num_srcs
+        self.input_a = HopFramer(self.hop, backlog_hops)
+        self.input_b = HopFramer(self.hop, backlog_hops)
+        # One output ring per (zone, loudspeaker).
+        self.outputs_a = [
+            RingBuffer(self.hop * (backlog_hops + 1)) for _ in range(self.num_srcs)
+        ]
+        self.outputs_b = [
+            RingBuffer(self.hop * (backlog_hops + 1)) for _ in range(self.num_srcs)
+        ]
+        self.hops_processed = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- audio-side API (callback safe) ---------------------------------
+
+    def push_input(self, chunk_a, chunk_b) -> None:
+        self.input_a.push(chunk_a)
+        self.input_b.push(chunk_b)
+
+    def pull_output(self, zone: str, src: int, n: int) -> np.ndarray:
+        rings = self.outputs_a if zone == "a" else self.outputs_b
+        return rings[src].read(n)
+
+    # -- engine side -----------------------------------------------------
+
+    def process_pending(self, max_hops: int | None = None) -> int:
+        """Run the engine for every complete input hop pair available;
+        returns the number of hops processed."""
+        done = 0
+        while max_hops is None or done < max_hops:
+            if self.input_a.ready == 0 or self.input_b.ready == 0:
+                break
+            hop_a = self.input_a.pop()
+            hop_b = self.input_b.pop()
+            out_a, out_b, *_ = self.model.process_input_buffers(hop_a, hop_b)
+            feeds_a = np.asarray(out_a[self.span_index])  # (hop, srcs)
+            feeds_b = np.asarray(out_b[self.span_index])
+            for s in range(self.num_srcs):
+                self.outputs_a[s].write(feeds_a[:, s])
+                self.outputs_b[s].write(feeds_b[:, s])
+            done += 1
+            self.hops_processed += 1
+        return done
+
+    def start(self, poll_seconds: float = 0.001) -> None:
+        """Run the engine loop on a background thread."""
+
+        def loop():
+            while not self._stop.is_set():
+                if self.process_pending() == 0:
+                    self._stop.wait(poll_seconds)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    @property
+    def dropped_input_hops(self) -> int:
+        return self.input_a.dropped + self.input_b.dropped

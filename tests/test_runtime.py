@@ -1,0 +1,160 @@
+"""Native real-time runtime: ring buffer semantics (incl. wraparound and
+threaded SPSC use), hop framing, and the stream host end-to-end."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from apvast_tpu.models.apvast import ApVast
+from apvast_tpu.runtime.native import HopFramer, RingBuffer, load_native
+from apvast_tpu.runtime.stream_host import StreamHost
+from apvast_tpu.utils.rir import synthetic_rirs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _native():
+    load_native()  # builds libapvast_rt.so once
+
+
+def test_ring_roundtrip(rng):
+    ring = RingBuffer(64)
+    assert ring.capacity == 64
+    data = rng.standard_normal(40).astype(np.float32)
+    assert ring.write(data) == 40
+    out = ring.read(40)
+    np.testing.assert_array_equal(out, data)
+    ring.close()
+
+
+def test_ring_wraparound(rng):
+    ring = RingBuffer(32)
+    for _ in range(20):  # push/pull past the capacity many times
+        chunk = rng.standard_normal(13).astype(np.float32)
+        assert ring.write(chunk) == 13
+        np.testing.assert_array_equal(ring.read(13), chunk)
+    assert ring.overruns == 0 and ring.underruns == 0
+    ring.close()
+
+
+def test_ring_overrun_underrun_accounting():
+    ring = RingBuffer(16)
+    assert ring.write(np.zeros(20, dtype=np.float32)) == 16
+    assert ring.overruns == 1
+    assert len(ring.read(20)) == 16
+    assert ring.underruns == 1
+    ring.close()
+
+
+def test_ring_threaded_spsc(rng):
+    """Producer and consumer on different threads move data intact."""
+    ring = RingBuffer(1 << 12)
+    total = 50_000
+    src = rng.standard_normal(total).astype(np.float32)
+    received = []
+
+    def producer():
+        pos = 0
+        while pos < total:
+            pos += ring.write(src[pos : pos + 512])
+
+    def consumer():
+        got = 0
+        while got < total:
+            chunk = ring.read(min(384, total - got))
+            got += len(chunk)
+            if len(chunk):
+                received.append(chunk)
+
+    threads = [threading.Thread(target=producer), threading.Thread(target=consumer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    np.testing.assert_array_equal(np.concatenate(received), src)
+    ring.close()
+
+
+def test_framer(rng):
+    framer = HopFramer(hop=128, max_backlog_hops=4)
+    sig = rng.standard_normal(500).astype(np.float32)
+    # Push in awkward chunk sizes.
+    for start in range(0, 500, 37):
+        framer.push(sig[start : start + 37])
+    assert framer.ready == 3  # 500 // 128
+    hops = [framer.pop() for _ in range(3)]
+    np.testing.assert_array_equal(np.concatenate(hops), sig[: 3 * 128])
+    assert framer.pop() is None
+    framer.close()
+
+
+def test_stream_host_end_to_end(rng):
+    rir_a = synthetic_rirs(60, 3, 2, seed=41)
+    rir_b = synthetic_rirs(60, 3, 2, seed=42)
+    model = ApVast(
+        block_size=128,
+        rir_a=rir_a,
+        rir_b=rir_b,
+        filter_length=12,
+        modeling_delay=4,
+        reference_index_a=0,
+        reference_index_b=0,
+        number_of_eigenvectors=3,
+        mu=1.0,
+        statistics_buffer_length=96,
+        sampling_rate=8000,
+        perceptual=False,
+        key=jax.random.key(0),
+        dtype="float32",
+    )
+    host = StreamHost(model, span_index=-1)
+    hop = model.config.hop
+    # Feed 5 hops of audio in sound-card-sized chunks (256 frames).
+    sig_a = rng.standard_normal(hop * 5).astype(np.float32)
+    sig_b = rng.standard_normal(hop * 5).astype(np.float32)
+    for start in range(0, len(sig_a), 256):
+        host.push_input(sig_a[start : start + 256], sig_b[start : start + 256])
+    processed = host.process_pending()
+    assert processed == 5
+    assert host.hops_processed == 5
+    out = host.pull_output("a", 0, hop * 5)
+    assert out.shape == (hop * 5,)
+    assert np.isfinite(out).all()
+    assert host.dropped_input_hops == 0
+
+
+def test_stream_host_background_thread(rng):
+    rir_a = synthetic_rirs(60, 3, 2, seed=43)
+    rir_b = synthetic_rirs(60, 3, 2, seed=44)
+    model = ApVast(
+        block_size=128,
+        rir_a=rir_a,
+        rir_b=rir_b,
+        filter_length=12,
+        modeling_delay=4,
+        reference_index_a=0,
+        reference_index_b=0,
+        number_of_eigenvectors=3,
+        mu=1.0,
+        statistics_buffer_length=96,
+        sampling_rate=8000,
+        perceptual=False,
+        key=jax.random.key(0),
+        dtype="float32",
+    )
+    host = StreamHost(model)
+    host.start()
+    hop = model.config.hop
+    import time
+
+    for _ in range(4):
+        host.push_input(
+            rng.standard_normal(hop).astype(np.float32),
+            rng.standard_normal(hop).astype(np.float32),
+        )
+    deadline = time.time() + 20
+    while host.hops_processed < 4 and time.time() < deadline:
+        time.sleep(0.01)
+    host.stop()
+    assert host.hops_processed == 4
