@@ -59,6 +59,18 @@ _PLAN_MIC_DIM = {
     "leff": None,
     "spectrum_scale": None,
 }
+# Frequency-domain engine state: the per-bin covariance recursion holds
+# mic-summed (psum'd) statistics, so only the response buffers shard.
+_FD_STATE_MIC_DIM = {
+    "conv_history": None,
+    "resp": 1,
+    "target_resp": 1,
+    "input_blocks": None,
+    "out_overlap": None,
+    "target_out_overlap": None,
+    "cov": None,
+    "cross": None,
+}
 
 
 def make_mesh(
@@ -113,6 +125,63 @@ def shard_scene_batch(state, mesh, scene_axis="scene", mic_axis="mic", batched=T
     return _place(
         state, _pspec(state, _STATE_MIC_DIM, mesh, scene_axis, mic_axis, batched), mesh
     )
+
+
+def shard_fd_state(state, mesh, scene_axis="scene", mic_axis="mic", batched=True):
+    """Place a (possibly scene-batched) frequency-domain engine state."""
+    return _place(
+        state,
+        _pspec(state, _FD_STATE_MIC_DIM, mesh, scene_axis, mic_axis, batched),
+        mesh,
+    )
+
+
+def sharded_multi_scene_fd_hop(
+    config: ApVastConfig,
+    mesh: Mesh | None = None,
+    scene_axis: str = "scene",
+    mic_axis: str = "mic",
+    forgetting: float = 0.9,
+):
+    """Frequency-domain analog of :func:`sharded_multi_scene_hop`: the
+    per-bin covariance update psums over the mic axis."""
+    from apvast_tpu.engine.fd_hop import process_hop_fd
+
+    use_mic = mesh is not None and mic_axis in mesh.axis_names
+    axis = mic_axis if use_mic else None
+
+    def single(plan, state, ha, hb):
+        return process_hop_fd(
+            config, plan, state, ha, hb, forgetting=forgetting, mic_axis=axis
+        )
+
+    batched_fn = jax.vmap(single)
+    if mesh is None:
+        return jax.jit(batched_fn)
+
+    def wrapped(plans, states, hops_a, hops_b):
+        scene_spec = P(scene_axis) if scene_axis in mesh.axis_names else P()
+        in_specs = (
+            _pspec(plans, _PLAN_MIC_DIM, mesh, scene_axis, mic_axis, True),
+            _pspec(states, _FD_STATE_MIC_DIM, mesh, scene_axis, mic_axis, True),
+            scene_spec,
+            scene_spec,
+        )
+        out_hop_specs = HopOutputs(
+            out_a=scene_spec if config.run_a else None,
+            out_b=scene_spec if config.run_b else None,
+            out_a_t=scene_spec,
+            out_b_t=scene_spec,
+        )
+        fn = jax.shard_map(
+            batched_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(in_specs[1], out_hop_specs),
+        )
+        return fn(plans, states, hops_a, hops_b)
+
+    return jax.jit(wrapped)
 
 
 def sharded_multi_scene_hop(

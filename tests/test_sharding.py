@@ -148,3 +148,32 @@ def test_multi_scene_wrapper(scene_batch):
         )
     assert out.out_a.shape == (2, cfg.num_eigenvectors, cfg.hop, cfg.num_srcs)
     assert np.isfinite(np.asarray(out.out_a)).all()
+
+
+def test_fd_mic_sharded_matches_unsharded():
+    """FD engine under (scene x mic) shard_map == unsharded."""
+    from apvast_tpu.engine.fd_hop import init_fd_state
+    from apvast_tpu.parallel.mesh import shard_fd_state, sharded_multi_scene_fd_hop
+
+    cfg = _scene_config()
+    plans, states = [], []
+    for i in range(2):
+        rir_a = synthetic_rirs(64, 4, 8, seed=130 + i)
+        rir_b = synthetic_rirs(64, 4, 8, seed=140 + i)
+        plans.append(build_plan(cfg, rir_a, rir_b))
+        states.append(init_fd_state(cfg, key=jax.random.key(i)))
+    plans, states = _stack(plans), _stack(states)
+    rng = np.random.default_rng(15)
+    hops = jnp.asarray(rng.standard_normal((2, 2, cfg.hop)))
+
+    ref_fn = sharded_multi_scene_fd_hop(cfg)
+    _, ref_out = ref_fn(plans, states, hops[:, 0], hops[:, 1])
+
+    mesh = make_mesh({"scene": 2, "mic": 4})
+    fn = sharded_multi_scene_fd_hop(cfg, mesh)
+    sh_plans = shard_plan(plans, mesh)
+    sh_states = shard_fd_state(states, mesh)
+    got_state, got_out = fn(sh_plans, sh_states, hops[:, 0], hops[:, 1])
+    np.testing.assert_allclose(
+        np.asarray(got_out.out_a), np.asarray(ref_out.out_a), rtol=1e-8, atol=1e-10
+    )
