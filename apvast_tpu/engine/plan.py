@@ -81,17 +81,17 @@ def build_plan(
     rir_b = np.asarray(rir_b, dtype=dtype)
     nf = config.fir_fft_size
 
-    # Kernel layout: time axis last, (mics, srcs, taps).
-    def kernel_spectra(rir: np.ndarray) -> np.ndarray:
-        return np.fft.rfft(rir.transpose(2, 1, 0), n=nf, axis=-1)
-
-    rir_spec = np.stack([kernel_spectra(rir_a), kernel_spectra(rir_b)])
+    # Kernel layout: time axis last, (mics, srcs, taps). The FFTs run ON
+    # DEVICE via a jit from real inputs: the TPU runtime in this
+    # environment cannot host-transfer complex arrays, and device-born
+    # complex spectra avoid the transfer entirely (real arrays H2D fine).
+    kernels = np.stack(
+        [rir_a.transpose(2, 1, 0), rir_b.transpose(2, 1, 0)]
+    )  # (2, m, s, taps) real
 
     tgt_a = _delayed_target_rir(rir_a, config.reference_index_a, config.modeling_delay)
     tgt_b = _delayed_target_rir(rir_b, config.reference_index_b, config.modeling_delay)
-    target_rir_spec = np.stack(
-        [np.fft.rfft(tgt_a.T, n=nf, axis=-1), np.fft.rfft(tgt_b.T, n=nf, axis=-1)]
-    )
+    target_kernels = np.stack([tgt_a.T, tgt_b.T])  # (2, m, taps) real
 
     # Delta target playback filters, laid out (srcs, filter_length) with
     # time last; the Python variant reuses zone A's filter for both zones
@@ -99,18 +99,30 @@ def build_plan(
     def delta_filter(ref_index: int) -> np.ndarray:
         f = np.zeros((config.num_srcs, config.filter_length), dtype=dtype)
         f[ref_index, config.modeling_delay] = 1.0
-        return np.fft.rfft(f, n=config.block_size, axis=-1)
+        return f
 
     if config.target_filter is TargetFilterVariant.SHARED_A:
         shared = delta_filter(config.reference_index_a)
-        target_filter_spec = np.stack([shared, shared])
+        target_filters = np.stack([shared, shared])
     else:
-        target_filter_spec = np.stack(
+        target_filters = np.stack(
             [
                 delta_filter(config.reference_index_a),
                 delta_filter(config.reference_index_b),
             ]
         )
+
+    @jax.jit
+    def _device_spectra(kernels, target_kernels, target_filters):
+        return (
+            jnp.fft.rfft(kernels, n=nf, axis=-1),
+            jnp.fft.rfft(target_kernels, n=nf, axis=-1),
+            jnp.fft.rfft(target_filters, n=config.block_size, axis=-1),
+        )
+
+    rir_spec, target_rir_spec, target_filter_spec = _device_spectra(
+        jnp.asarray(kernels), jnp.asarray(target_kernels), jnp.asarray(target_filters)
+    )
 
     cfmr_sq = cs = ca = leff = spectrum_scale = None
     if config.perceptual:
