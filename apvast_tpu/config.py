@@ -169,8 +169,8 @@ class ApVastConfig:
     # power-iteration count per hop. The subspace is carried across hops
     # (warm start), so a modest per-hop count converges after the normal
     # stream warmup.
-    subspace_oversample: int = 78
-    subspace_iters: int = 8
+    subspace_oversample: int = 30
+    subspace_iters: int = 3
     # Orthogonalization inside the subspace iteration: "qr" (Householder)
     # or "cholqr2" (matmul-only CholeskyQR2 — MXU-friendly).
     subspace_orth: str = "cholqr2"

@@ -97,19 +97,24 @@ def jdiag_topk(
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     chol = jnp.linalg.cholesky(B + reg * eye)
-    half = solve_triangular(chol, A, lower=True)
-    white = solve_triangular(chol, half.T, lower=True).T
-    white = 0.5 * (white + white.T)
+
+    # The whitened operator C = L^{-1} A L^{-T} is applied IMPLICITLY:
+    # triangular solves against the k-column subspace only (k << n), never
+    # against the full matrix — the dominant cost of explicit whitening.
+    def apply_white(x):
+        y = solve_triangular(chol.T, x, lower=False)  # L^{-T} x
+        y = A @ y
+        return solve_triangular(chol, y, lower=True)  # L^{-1} (A L^{-T} x)
 
     orthonormalize = _cholqr2 if orth == "cholqr2" else (
         lambda q: jnp.linalg.qr(q)[0]
     )
 
     def body(q, _):
-        return orthonormalize(white @ q), None
+        return orthonormalize(apply_white(q)), None
 
     q, _ = jax.lax.scan(body, q_init, None, length=iters)
-    small = q.T @ (white @ q)
+    small = q.T @ apply_white(q)
     d, v = jnp.linalg.eigh(0.5 * (small + small.T))  # ascending
     d = d[::-1][:num_vectors]
     ritz = (q @ v)[:, ::-1]

@@ -3,10 +3,12 @@
 The XLA statistics path materializes the frame tensor
 (paths, mics, srcs, K, J) — ~100 MB at the reference scale — writes it to
 HBM, re-reads it for the covariance einsum, and pays a gather for the
-framing. This kernel never materializes frames: each grid step DMAs two
-length-N buffer rows into VMEM, builds their (J, K) sliding-window
-matrices in scratch, and feeds one (J, K) x (K, J) contraction straight
-to the MXU, accumulating the microphone sum in the resident output tile.
+framing. This kernel never materializes frames in HBM: each (path, mic)
+grid step DMAs one (srcs, N) buffer plane into VMEM, builds the full
+(srcs*J, K) sliding-window matrix in scratch (statically unrolled row
+shifts — Mosaic lowers constant-offset lane slices to vector shifts),
+and runs ONE (SJ, K) x (K, SJ) contraction on the MXU, accumulating the
+microphone sum in the resident (SJ, SJ) output tile.
 
 Semantics equal ``framing.frame_buffer`` + the covariance einsum in
 ``engine.hop`` (the deleted-sample PYTHON variant is handled by the
@@ -25,21 +27,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(row_ref, col_ref, out_ref, wr, wc, *, frame_length, num_frames):
-    j, k = frame_length, num_frames
-    m = pl.program_id(3)
+def _kernel(buf_ref, out_ref, windows, *, num_srcs, frame_length, num_frames):
+    s, j, k = num_srcs, frame_length, num_frames
+    m = pl.program_id(1)
 
-    def fill(i, _):
-        # Window row i holds buffer[J-1-i : J-1-i+K] — forward time,
-        # most-recent-lag-first row ordering (Python/apvast.py:336-338).
-        wr[i, :] = row_ref[0, 0, 0, pl.ds(j - 1 - i, k)]
-        wc[i, :] = col_ref[0, 0, 0, pl.ds(j - 1 - i, k)]
-        return 0
+    # Row (sv*J + i) of the window matrix holds buffer plane row sv at
+    # offsets [J-1-i : J-1-i+K] — forward time, most-recent-lag-first
+    # (Python/apvast.py:336-338). Static offsets: Mosaic only supports
+    # unaligned lane-dim slices with compile-time starts.
+    for sv in range(s):
+        for i in range(j):
+            start = j - 1 - i
+            windows[sv * j + i, :] = buf_ref[0, 0, sv, start : start + k]
 
-    jax.lax.fori_loop(0, j, fill, 0)
     tile = jax.lax.dot_general(
-        wr[:],
-        wc[:],
+        windows[:],
+        windows[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -64,45 +67,38 @@ def covariance_pallas(
         frame_length: J.
 
     Returns:
-        (paths, srcs * J, srcs * J) float32 covariance matrices.
+        (paths, srcs * J, srcs * J) float32 covariance matrices in the
+        engine's source-major row layout.
     """
     p, m, s, n = buffers.shape
     j = frame_length
     k = n - j + 1
-    grid = (p, s, s, m)
+    grid = (p, m)
 
-    row_spec = pl.BlockSpec(
-        (1, 1, 1, n),
-        lambda pi, sr, sc, mi: (pi, mi, sr, 0),
-        memory_space=pltpu.VMEM,
-    )
-    col_spec = pl.BlockSpec(
-        (1, 1, 1, n),
-        lambda pi, sr, sc, mi: (pi, mi, sc, 0),
+    buf_spec = pl.BlockSpec(
+        (1, 1, s, n),
+        lambda pi, mi: (pi, mi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, j, j),
-        lambda pi, sr, sc, mi: (pi, sr, sc),
+        (1, s * j, s * j),
+        lambda pi, mi: (pi, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    # Buffers arrive (p, m, s, n); the index maps above address them as
-    # (p, m, s) blocks directly.
-    kernel = functools.partial(_kernel, frame_length=j, num_frames=k)
+    kernel = functools.partial(
+        _kernel, num_srcs=s, frame_length=j, num_frames=k
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec, col_spec],
+        in_specs=[buf_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((p, s * j, s * j), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((j, k), jnp.float32),
-            pltpu.VMEM((j, k), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((s * j, k), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * m * s * s * j * j * k,
-            bytes_accessed=p * m * s * n * 4 * s + p * s * j * s * j * 4,
+            flops=2 * p * m * (s * j) * (s * j) * k,
+            bytes_accessed=p * m * s * n * 4 + p * (s * j) ** 2 * 4,
             transcendentals=0,
         ),
-    )(buffers, buffers)
+    )(buffers)

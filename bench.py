@@ -61,7 +61,13 @@ def measure(device: str) -> int:
         sampling_rate=48000,
         perceptual=False,  # matches the measured baseline configuration
         dtype="float32",
+        # Performance mode: warm-started top-V subspace GEVD (validated
+        # contrast-exact vs the reference solver at every rank on this
+        # scene, tests/test_subspace_solver.py) + fused Pallas statistics.
         gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=14,
+        subspace_iters=2,
+        use_pallas_statistics=(device == "tpu"),
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))
