@@ -36,6 +36,13 @@ def load_reference_rirs(path: str | None = None):
     )
 
 
+def from_vast_layout(rirs: np.ndarray) -> np.ndarray:
+    """Convert the offline vast.m RIR layout (numberOfMics, rirLength,
+    numberOfSrc — Matlab/ControlMethods/vast.m:10-17) to the framework's
+    (rirLength, numberOfSrc, numberOfMics)."""
+    return np.ascontiguousarray(np.transpose(rirs, (1, 2, 0)))
+
+
 def synthetic_rirs(
     rir_length: int,
     num_srcs: int,

@@ -28,6 +28,9 @@ def main() -> int:
     parser.add_argument("--hops", type=int, default=20)  # main.m:47
     parser.add_argument("--perceptual", action="store_true")
     parser.add_argument("--x64", action="store_true", help="float64 parity mode")
+    parser.add_argument("--fd", action="store_true", help="frequency-domain engine")
+    parser.add_argument("--wav-a", help="program A wav file (default: noise)")
+    parser.add_argument("--wav-b", help="program B wav file (default: noise)")
     args = parser.parse_args()
 
     import jax
@@ -59,11 +62,7 @@ def main() -> int:
     val_b = rir_b + scale * np.random.default_rng(98).standard_normal(rir_b.shape)
 
     filter_length, srcs = 100, rir_a.shape[1]
-    # The reference demo uses spans [1, JL/2, JL] (main.m:38); V = 200
-    # keeps the eigendecomposition affordable while spanning BACC ->
-    # mid-span -> near-pressure-matching.
-    spans = (1, 50, 200)
-    model = ApVast(
+    common = dict(
         block_size=1600,
         rir_a=rir_a,
         rir_b=rir_b,
@@ -71,20 +70,45 @@ def main() -> int:
         modeling_delay=20,
         reference_index_a=7,
         reference_index_b=7,
-        number_of_eigenvectors=max(spans),
         mu=1.0,
-        statistics_buffer_length=1000,
         sampling_rate=48000,
         perceptual=args.perceptual,
         key=jax.random.key(0),
         dtype="float64" if args.x64 else "float32",
-        output_spans=spans,
     )
+    if args.fd:
+        from apvast_tpu import ApVastFD
+
+        # FD spans are per-bin ranks 1..num_srcs.
+        spans = (1, srcs // 2, srcs)
+        model = ApVastFD(number_of_eigenvectors=srcs, **common)
+        span_index = {sp: sp - 1 for sp in spans}
+    else:
+        # The reference demo uses spans [1, JL/2, JL] (main.m:38); V = 200
+        # keeps the eigendecomposition affordable while spanning BACC ->
+        # mid-span -> near-pressure-matching.
+        spans = (1, 50, 200)
+        model = ApVast(
+            number_of_eigenvectors=max(spans),
+            statistics_buffer_length=1000,
+            output_spans=spans,
+            **common,
+        )
+        span_index = {sp: i for i, sp in enumerate(spans)}
 
     rng = np.random.default_rng(7)
     hop = model.config.hop
-    sig_a = rng.standard_normal(hop * args.hops)
-    sig_b = rng.standard_normal(hop * args.hops)
+
+    def program(path, fallback_seed):
+        if path:
+            from apvast_tpu.utils.io import load_wav
+
+            sig, _ = load_wav(path, target_rate=48000)
+            return sig[: hop * args.hops]
+        return rng.standard_normal(hop * args.hops)
+
+    sig_a = program(args.wav_a, 1)
+    sig_b = program(args.wav_b, 2)
 
     t0 = time.time()
     out_a, out_b, out_a_t, out_b_t = model.process_signals(sig_a, sig_b)
@@ -101,7 +125,8 @@ def main() -> int:
 
     print(f"\n{'span':>6} {'contrA dB':>10} {'contrB dB':>10} "
           f"{'nmseA':>8} {'nmseB':>8} {'detect(leak A->B)':>18}")
-    for i, span in enumerate(spans):
+    for span in spans:
+        i = span_index[span]
         fa = np.asarray(out_a[i])[tail]
         fb = np.asarray(out_b[i])[tail]
         p_aa, p_ab = predict_pressure(fa, val_a), predict_pressure(fa, val_b)

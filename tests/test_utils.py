@@ -47,3 +47,12 @@ def test_wav_roundtrip(tmp_path, rng):
     # Gain applies before resampling.
     loud, _ = load_wav(path, gain=2.0)
     np.testing.assert_allclose(loud, 2 * back, atol=1e-6)
+
+
+def test_from_vast_layout(rng):
+    from apvast_tpu.utils.rir import from_vast_layout
+
+    g = rng.standard_normal((3, 40, 2))  # (mics, rirLen, srcs)
+    out = from_vast_layout(g)
+    assert out.shape == (40, 2, 3)
+    np.testing.assert_array_equal(out[:, 1, 2], g[2, :, 1])
