@@ -174,6 +174,10 @@ class ApVastConfig:
     # Orthogonalization inside the subspace iteration: "qr" (Householder)
     # or "cholqr2" (matmul-only CholeskyQR2 — MXU-friendly).
     subspace_orth: str = "cholqr2"
+    # Whitening: "solve" (triangular solves per application) or "invert"
+    # (one blocked matmul-only triangular inversion per hop; see
+    # ops/trisolve.py).
+    subspace_whiten: str = "invert"
     # Use the fused Pallas framing+covariance kernel for the statistics
     # (float32 only; frames never materialized, cross-correlation vector
     # via FFT). Falls back to interpret mode off-TPU.

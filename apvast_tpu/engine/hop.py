@@ -253,6 +253,7 @@ def process_hop(
             config.subspace_iters,
             state.gevd_q,
             config.subspace_orth,
+            config.subspace_whiten,
         )  # (2, jl, v), (2, v), (2, jl, k)
     else:
         u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)

@@ -72,6 +72,7 @@ def jdiag_topk(
     iters: int,
     q_init: jax.Array,
     orth: str = "qr",
+    whiten: str = "solve",
 ):
     """Top-k generalized eigenpairs by blocked subspace iteration.
 
@@ -98,13 +99,31 @@ def jdiag_topk(
     eye = jnp.eye(n, dtype=A.dtype)
     chol = jnp.linalg.cholesky(B + reg * eye)
 
-    # The whitened operator C = L^{-1} A L^{-T} is applied IMPLICITLY:
-    # triangular solves against the k-column subspace only (k << n), never
-    # against the full matrix — the dominant cost of explicit whitening.
-    def apply_white(x):
-        y = solve_triangular(chol.T, x, lower=False)  # L^{-T} x
-        y = A @ y
-        return solve_triangular(chol, y, lower=True)  # L^{-1} (A L^{-T} x)
+    if whiten == "invert":
+        # Matmul-only path: invert L once by blocked recursion
+        # (ops/trisolve.py), then every whitened-operator application and
+        # the back-transform are MXU matmuls — no latency-bound
+        # full-matrix substitutions on the hot path.
+        from apvast_tpu.ops.trisolve import triangular_inverse
+
+        li = triangular_inverse(chol)
+
+        def apply_white(x):
+            return li @ (A @ (li.T @ x))
+
+        def back_transform(x):
+            return li.T @ x
+
+    else:
+        # The whitened operator C = L^{-1} A L^{-T} applied IMPLICITLY:
+        # triangular solves against the k-column subspace only.
+        def apply_white(x):
+            y = solve_triangular(chol.T, x, lower=False)  # L^{-T} x
+            y = A @ y
+            return solve_triangular(chol, y, lower=True)
+
+        def back_transform(x):
+            return solve_triangular(chol.T, x, lower=False)
 
     orthonormalize = _cholqr2 if orth == "cholqr2" else (
         lambda q: jnp.linalg.qr(q)[0]
@@ -118,12 +137,12 @@ def jdiag_topk(
     d, v = jnp.linalg.eigh(0.5 * (small + small.T))  # ascending
     d = d[::-1][:num_vectors]
     ritz = (q @ v)[:, ::-1]
-    u = solve_triangular(chol.T, ritz[:, :num_vectors], lower=False)
+    u = back_transform(ritz[:, :num_vectors])
     return u, d, ritz
 
 
 jdiag_topk_batched = jax.vmap(
-    jdiag_topk, in_axes=(0, 0, None, None, None, 0, None)
+    jdiag_topk, in_axes=(0, 0, None, None, None, 0, None, None)
 )
 
 

@@ -107,3 +107,39 @@ def test_engine_subspace_matches_eigh_reference_scale():
     sub = dataclasses.replace(base, gevd_solver=GevdSolver.SUBSPACE)
     approx = _contrast_after(sub, rir_a, rir_b, hops=8)
     assert abs(exact - approx) < 0.1, f"{exact:.2f} vs {approx:.2f} dB"
+
+
+def _random_psd_pair(rng, n):
+    xa = rng.standard_normal((n, n + 8))
+    xb = rng.standard_normal((n, n + 8))
+    return xa @ xa.T, xb @ xb.T
+
+
+def test_triangular_inverse(rng):
+    from apvast_tpu.ops.trisolve import triangular_inverse
+
+    for n, nb in [(64, 8), (800, 16), (48, 16), (50, 16)]:
+        x = rng.standard_normal((n, n + 4))
+        chol = np.linalg.cholesky(x @ x.T + n * np.eye(n))
+        li = np.asarray(triangular_inverse(jnp.asarray(chol), num_blocks=nb))
+        np.testing.assert_allclose(li @ chol, np.eye(n), atol=1e-8)
+        # stays lower triangular
+        assert np.allclose(np.triu(li, 1), 0.0)
+
+
+def test_invert_whitening_matches_solve(rng):
+    """Same eigenvalues, and the synthesized variable-span filters (the
+    engine's consumable) agree — raw eigenvectors may differ by roundoff
+    rotations inside near-degenerate clusters."""
+    a0, b0 = _random_psd_pair(rng, 96)
+    r = rng.standard_normal(96)
+    q0 = jnp.asarray(rng.standard_normal((96, 32)))
+    u1, d1, _ = jdiag_topk(jnp.asarray(a0), jnp.asarray(b0), 1e-7, 10, 30, q0, "cholqr2", "solve")
+    u2, d2, _ = jdiag_topk(jnp.asarray(a0), jnp.asarray(b0), 1e-7, 10, 30, q0, "cholqr2", "invert")
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-8)
+    breg = b0 + 1e-7 * np.eye(96)
+    for u in (np.asarray(u1), np.asarray(u2)):
+        np.testing.assert_allclose(u.T @ breg @ u, np.eye(10), atol=1e-8)
+    w1 = (np.asarray(u1) * ((np.asarray(u1).T @ r) / (np.asarray(d1) + 1.0))).sum(1)
+    w2 = (np.asarray(u2) * ((np.asarray(u2).T @ r) / (np.asarray(d2) + 1.0))).sum(1)
+    np.testing.assert_allclose(w1, w2, rtol=1e-6, atol=1e-9)
