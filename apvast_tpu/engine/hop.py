@@ -148,7 +148,7 @@ def process_hop(
     )
 
     # ---- 2+3. perceptual weighting of target and responses -------------
-    wt_spec, r_spec, weighting = weighted_spectra(config, plan, resp, target_resp)
+    wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
     new_wt = wola_synthesize(win, wt_spec, block)
     wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
     wtarget_stat = slide(state.wtarget_stat, wt_emit)

@@ -99,7 +99,7 @@ def main() -> int:
     rng = np.random.default_rng(7)
     hop = model.config.hop
 
-    def program(path, fallback_seed):
+    def program(path):
         if path:
             from apvast_tpu.utils.io import load_wav
 
@@ -107,8 +107,8 @@ def main() -> int:
             return sig[: hop * args.hops]
         return rng.standard_normal(hop * args.hops)
 
-    sig_a = program(args.wav_a, 1)
-    sig_b = program(args.wav_b, 2)
+    sig_a = program(args.wav_a)
+    sig_b = program(args.wav_b)
 
     t0 = time.time()
     out_a, out_b, out_a_t, out_b_t = model.process_signals(sig_a, sig_b)
