@@ -79,6 +79,16 @@ def init_fd_state(
     else:
         resp = jnp.zeros((4, m, s, block), dtype=dtype)
         target_resp = jnp.zeros((2, m, block), dtype=dtype)
+    # Complex zeros are created inside a jit: the TPU runtime in this
+    # environment rejects EAGER complex-typed primitives (compiled complex
+    # ops are fine) — see utils docs / PERF.md environment caveat.
+    make_cov = jax.jit(
+        lambda: (
+            jnp.zeros((4, bins, s, s), dtype=cdtype),
+            jnp.zeros((2, bins, s), dtype=cdtype),
+        )
+    )
+    cov, cross = make_cov()
     return FdState(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
         resp=resp,
@@ -86,8 +96,8 @@ def init_fd_state(
         input_blocks=jnp.zeros((2, block), dtype=dtype),
         out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
         target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
-        cov=jnp.zeros((4, bins, s, s), dtype=cdtype),
-        cross=jnp.zeros((2, bins, s), dtype=cdtype),
+        cov=cov,
+        cross=cross,
     )
 
 
@@ -171,6 +181,11 @@ def process_hop_fd(
         [float(config.run_a), float(config.run_b)], dtype=dtype
     )
     w_all = w_all * zone_gate[:, None, None, None]
+    # Warmup guard: with near-zero startup covariance some TPU complex
+    # eigensolver paths emit non-finite eigenvectors for degenerate bins
+    # (the CPU path does not); silence those bins instead of letting a
+    # transient NaN enter the output overlap chain.
+    w_all = jnp.where(jnp.isfinite(w_all), w_all, 0)
 
     filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V, s, bins)
     # Constrain to J-tap FIR filters (projection: ifft -> truncate ->
