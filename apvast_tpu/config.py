@@ -182,6 +182,10 @@ class ApVastConfig:
     # (float32 only; frames never materialized, cross-correlation vector
     # via FFT). Falls back to interpret mode off-TPU.
     use_pallas_statistics: bool = False
+    # Synthesize outputs with the Pallas circular-convolution matmul
+    # kernel instead of per-rank FFTs (float32 only; exact same math —
+    # the J-tap filters make circular convolution one MXU contraction).
+    use_pallas_output: bool = False
     # MATLAB-style multi-solution mode (apVast.m:113-120): when set, the
     # engine still diagonalizes with num_eigenvectors = max(output_spans)
     # but synthesizes outputs only for these span ranks (1-based), instead

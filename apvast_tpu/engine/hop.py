@@ -25,6 +25,7 @@ from apvast_tpu.config import (
     ApVastConfig,
     GevdSolver,
     RegularizationVariant,
+    TargetFilterVariant,
     ToeplitzVariant,
 )
 from apvast_tpu.engine.plan import ApVastPlan
@@ -273,19 +274,44 @@ def process_hop(
     # w layout is source-major (w[s*j + tap]); reshape to (zone, v, s, j)
     # == the reference's order='F' reshape (apvast.py:417).
     filters = w_family.reshape(2, v, s, j)
-    filt_spec = rfft_batched(filters, block)[..., : config.num_bins]  # (2, v, s, bins)
 
     # ---- 6. slide input blocks (ref apvast.py:424-426) -----------------
     input_blocks = slide(state.input_blocks, hops)
-    in_spec = wola_analyze(win, input_blocks)  # (2, bins)
 
     # ---- 7. output synthesis (ref apvast.py:428-506) -------------------
-    out_spec = in_spec[:, None, None, :] * filt_spec
-    new_out = wola_synthesize(win, out_spec, block)
-    out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
+    if config.use_pallas_output:
+        from apvast_tpu.ops.pallas.output_filter import circular_filter_pallas
 
-    t_out_spec = in_spec[:, None, :] * plan.target_filter_spec  # (2, s, bins)
-    new_t_out = wola_synthesize(win, t_out_spec, block)
+        # The spectral product with a J-tap filter IS a circular
+        # convolution: one MXU matmul for the whole rank family instead
+        # of ~2VS FFTs.
+        win_in = win * input_blocks  # (2, block)
+        blocks = circular_filter_pallas(
+            win_in,
+            filters.reshape(2, v * s, j),
+            interpret=(jax.default_backend() == "cpu"),
+        )
+        new_out = win * blocks.reshape(2, v, s, block)
+        # The target filter is a delta at (reference index, modeling
+        # delay) (apvast.py:389-390) — its circular convolution is a roll.
+        rolled = jnp.roll(win_in, config.modeling_delay, axis=-1)
+        if config.target_filter is TargetFilterVariant.SHARED_A:
+            refs = (config.reference_index_a, config.reference_index_a)
+        else:
+            refs = (config.reference_index_a, config.reference_index_b)
+        t_blocks = jnp.zeros((2, s, block), dtype=dtype)
+        t_blocks = t_blocks.at[0, refs[0]].set(rolled[0])
+        t_blocks = t_blocks.at[1, refs[1]].set(rolled[1])
+        new_t_out = win * t_blocks
+    else:
+        filt_spec = rfft_batched(filters, block)  # (2, v, s, bins)
+        in_spec = wola_analyze(win, input_blocks)  # (2, bins)
+        out_spec = in_spec[:, None, None, :] * filt_spec
+        new_out = wola_synthesize(win, out_spec, block)
+        t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
+        new_t_out = wola_synthesize(win, t_out_spec, block)
+
+    out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
     target_out_overlap, t_emit = wola_overlap_add(
         state.target_out_overlap, new_t_out, hop
     )

@@ -1,0 +1,91 @@
+"""Output synthesis as a circular-convolution matmul kernel.
+
+The reference synthesizes loudspeaker feeds by multiplying the input
+spectrum with each rank's filter spectrum and inverse-transforming
+(Python/apvast.py:445-504) — at V ranks x S loudspeakers that is ~2VS
+length-N FFTs per hop, and FFTs run on the TPU's VPU, not the MXU. But
+the filters are only J taps long, so the circular convolution is exactly
+one (V*S, J) x (J, N) matmul against the input's sliding circular
+windows: this kernel builds the J window rows in VMEM (static-offset
+slices -> vector shifts) and runs the whole rank family through the MXU
+in one contraction per zone. Numerically identical to the FFT path up to
+roundoff (tested in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ext_ref, filt_ref, out_ref, windows, *, taps, block):
+    zi = pl.program_id(0)
+    # Window row t holds extended_input[J-1-t : J-1-t+N], i.e.
+    # x[(n - t) mod N] along n — so out = W @ windows is the circular
+    # convolution of the input block with each J-tap filter row.
+    for t in range(taps):
+        start = taps - 1 - t
+        windows[t, :] = ext_ref[zi, start : start + block]
+    out_ref[0] = jax.lax.dot_general(
+        filt_ref[zi],
+        windows[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def circular_filter_pallas(
+    windowed_input: jax.Array,
+    filters: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Circular convolution of input blocks with J-tap filter banks.
+
+    Args:
+        windowed_input: (zones, block) — the analysis-windowed input
+            blocks (the engine's ``window * input_block``).
+        filters: (zones, rows, taps) float32 — flattened (rank, src)
+            filter rows.
+
+    Returns:
+        (zones, rows, block): per-row circular convolution, equal to
+        ``irfft(rfft(windowed_input) * rfft(filters, n=block))``.
+    """
+    z, block = windowed_input.shape
+    _, rows, taps = filters.shape
+    # Circular pre-extension so every window is a contiguous slice.
+    ext = jnp.concatenate(
+        [windowed_input[:, block - (taps - 1) :], windowed_input], axis=-1
+    )  # (z, block + taps - 1)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, taps=taps, block=block),
+        grid=(z,),
+        in_specs=[
+            # Whole-array blocks (Mosaic's trailing-dim alignment rule);
+            # the zone row is selected inside the kernel via program_id.
+            pl.BlockSpec(
+                (z, block + taps - 1),
+                lambda zi: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (z, rows, taps), lambda zi: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, block), lambda zi: (zi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((z, rows, block), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((taps, block), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * z * rows * taps * block,
+            bytes_accessed=z * (block + rows * taps + rows * block) * 4,
+            transcendentals=0,
+        ),
+    )(ext, filters)

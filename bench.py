@@ -68,6 +68,7 @@ def measure(device: str) -> int:
         subspace_oversample=14,
         subspace_iters=2,
         use_pallas_statistics=(device == "tpu"),
+        use_pallas_output=(device == "tpu"),
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))

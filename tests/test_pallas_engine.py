@@ -83,3 +83,48 @@ def test_pallas_rejects_float64(small_scene):
         raise AssertionError("expected float32 requirement error")
     except ValueError as e:
         assert "float32" in str(e)
+
+
+def test_pallas_output_matches_fft_path():
+    """The circular-convolution output kernel equals the FFT synthesis."""
+    cfg, rir_a, rir_b = _cfg(ToeplitzVariant.PYTHON)
+    want = _run(cfg, rir_a, rir_b)
+    got = _run(
+        dataclasses.replace(cfg, use_pallas_output=True), rir_a, rir_b
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_output_target_roll(small_scene):
+    """Target outputs (delta filter -> roll) match the FFT target path,
+    including the PER_ZONE variant."""
+    from apvast_tpu.config import TargetFilterVariant
+
+    cfg, rir_a, rir_b = small_scene
+    cfg = dataclasses.replace(
+        cfg,
+        dtype="float32",
+        reference_index_a=1,
+        reference_index_b=3,
+        target_filter=TargetFilterVariant.PER_ZONE,
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(2))
+    p_cfg = dataclasses.replace(cfg, use_pallas_output=True)
+    p_plan = build_plan(p_cfg, rir_a, rir_b)
+    p_state = init_state(p_cfg, key=jax.random.key(2))
+    rng = np.random.default_rng(8)
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    pfn = jax.jit(lambda s, a, b: process_hop(p_cfg, p_plan, s, a, b))
+    for _ in range(3):
+        a = jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32)
+        b = jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32)
+        state, out = fn(state, a, b)
+        p_state, p_out = pfn(p_state, a, b)
+        np.testing.assert_allclose(
+            np.asarray(p_out.out_a_t), np.asarray(out.out_a_t), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_out.out_b_t), np.asarray(out.out_b_t), rtol=1e-4, atol=1e-6
+        )
