@@ -157,6 +157,12 @@ class ApVastConfig:
     toeplitz_variant: ToeplitzVariant = ToeplitzVariant.PYTHON
     regularization: RegularizationVariant = RegularizationVariant.PYTHON
     reg_b: float = 1e-7  # Python/apvast.py:23
+    # Extra scale-relative loading of the dark matrix: reg_b is ABSOLUTE
+    # (the reference's constant) and becomes vanishingly small relative to
+    # scenes whose covariance scale is large — float32 Cholesky then fails
+    # (survey §7 'numerical conditioning'). Production float32 configs on
+    # non-reference scenes should set ~1e-6; 0 keeps exact parity.
+    reg_b_relative: float = 0.0
     bright_loading: float = 1e-8  # Matlab/ControlMethods/apVast.m:556
     dark_loading: float = 5e-3  # Matlab/ControlMethods/apVast.m:555
     normalize_statistics: bool = False  # True => apVast.m:448-456 scaling

@@ -222,6 +222,14 @@ def process_hop(
     b_stack = r_mats[jnp.asarray([1, 2])]
     eye = jnp.eye(s * j, dtype=dtype)
 
+    if config.reg_b_relative > 0:
+        # Scale-aware extra loading for float32 production on scenes whose
+        # covariance magnitude dwarfs the reference's absolute reg_b.
+        mean_diag = jnp.einsum("zii->z", b_stack) / (s * j)
+        b_stack = b_stack + (
+            config.reg_b_relative * mean_diag
+        )[:, None, None] * eye
+
     if config.regularization is RegularizationVariant.PYTHON:
         reg = config.reg_b
     elif config.regularization is RegularizationVariant.PYTHON_NORM:

@@ -56,10 +56,20 @@ def _cholqr2(q: jax.Array) -> jax.Array:
     """CholeskyQR2 orthonormalization — matmul + small Cholesky only, so
     the whole subspace iteration stays on the MXU (no Householder panels).
     Two passes give QR-level orthogonality for moderately conditioned
-    blocks, which per-iteration re-orthogonalization guarantees here."""
+    blocks, which per-iteration re-orthogonalization guarantees here.
+
+    The Gram matrix is jittered relative to its own trace: rank-deficient
+    blocks (e.g. the warmup hops of a heavily perceptually-weighted
+    scene) would otherwise make the Cholesky produce NaNs that poison the
+    warm-started subspace permanently."""
+    k = q.shape[-1]
+    eye = jnp.eye(k, dtype=q.dtype)
     for _ in range(2):
         gram = q.T @ q
-        chol = jnp.linalg.cholesky(gram)
+        jitter = (jnp.trace(gram) / k) * 1e-6 + jnp.asarray(
+            1e-30, dtype=q.dtype
+        )
+        chol = jnp.linalg.cholesky(gram + jitter * eye)
         q = solve_triangular(chol, q.T, lower=True).T
     return q
 
@@ -138,6 +148,9 @@ def jdiag_topk(
     d = d[::-1][:num_vectors]
     ritz = (q @ v)[:, ::-1]
     u = back_transform(ritz[:, :num_vectors])
+    # The returned subspace warm-starts the NEXT call; a single transient
+    # non-finite (degenerate warmup statistics) must not poison the carry.
+    ritz = jnp.where(jnp.isfinite(ritz), ritz, q_init)
     return u, d, ritz
 
 

