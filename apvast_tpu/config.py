@@ -213,6 +213,13 @@ class ApVastConfig:
             raise ValueError(
                 "statistics_buffer_length must exceed filter_length"
             )
+        if self.hop_size is not None and self.hop_size > self.statistics_buffer_length:
+            raise ValueError("hop_size must not exceed statistics_buffer_length")
+        if not 0 <= self.modeling_delay < self.filter_length:
+            # The reference would place the target-filter delta into the
+            # next source's coefficient block (flat index J*ref + delay,
+            # apvast.py:390) — pathological; reject it up front.
+            raise ValueError("modeling_delay must lie in [0, filter_length)")
         if not 0 <= self.reference_index_a < self.num_srcs:
             raise ValueError("reference_index_a out of range")
         if not 0 <= self.reference_index_b < self.num_srcs:

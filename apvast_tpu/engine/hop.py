@@ -64,9 +64,16 @@ class HopOutputs:
 
 
 def _spectral_norm(mat: jax.Array) -> jax.Array:
-    """2-norm of a symmetric matrix (for the MATLAB loading variants,
-    apVast.m:552-569 and Python/apvast.py:25-27)."""
-    return jnp.max(jnp.abs(jnp.linalg.eigvalsh(mat)))
+    """2-norm of a symmetric PSD matrix (for the MATLAB loading variants,
+    apVast.m:552-569 and Python/apvast.py:25-27) by power iteration —
+    a handful of matmuls instead of a dense eigendecomposition; the
+    loading constant needs only a few digits of accuracy."""
+    v = jnp.ones((mat.shape[-1],), dtype=mat.dtype)
+    def body(v, _):
+        w = mat @ v
+        return w / (jnp.linalg.norm(w) + 1e-30), None
+    v, _ = jax.lax.scan(body, v / jnp.linalg.norm(v), None, length=12)
+    return jnp.abs(v @ (mat @ v))
 
 
 def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
@@ -288,6 +295,8 @@ def process_hop(
 
     # ---- 7. output synthesis (ref apvast.py:428-506) -------------------
     if config.use_pallas_output:
+        if dtype != jnp.float32:
+            raise ValueError("use_pallas_output requires dtype=float32")
         from apvast_tpu.ops.pallas.output_filter import circular_filter_pallas
 
         # The spectral product with a J-tap filter IS a circular

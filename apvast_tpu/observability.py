@@ -48,12 +48,22 @@ def hop_metrics(outputs, rir_a, rir_b) -> HopMetrics:
 
     Uses the hop's own samples only — a cheap running indicator, not the
     full-signal evaluation (use ``evaluation`` on stitched outputs for
-    that, as Matlab/main.m:64-130 does).
+    that, as Matlab/main.m:64-130 does). A disabled zone (out_a/out_b is
+    None, mirroring the reference's run flags) reports NaN metrics and
+    zero RMS for that zone.
     """
-    p_aa = predict_pressure(outputs.out_a, rir_a)
-    p_ab = predict_pressure(outputs.out_a, rir_b)
-    p_bb = predict_pressure(outputs.out_b, rir_b)
-    p_ba = predict_pressure(outputs.out_b, rir_a)
+    # Zero feeds for a disabled zone (shape borrowed from the always
+    # present target outputs).
+    out_a = outputs.out_a if outputs.out_a is not None else jnp.zeros_like(
+        outputs.out_a_t
+    )
+    out_b = outputs.out_b if outputs.out_b is not None else jnp.zeros_like(
+        outputs.out_b_t
+    )
+    p_aa = predict_pressure(out_a, rir_a)
+    p_ab = predict_pressure(out_a, rir_b)
+    p_bb = predict_pressure(out_b, rir_b)
+    p_ba = predict_pressure(out_b, rir_a)
     t_a = predict_pressure(outputs.out_a_t, rir_a)
     t_b = predict_pressure(outputs.out_b_t, rir_b)
     rms = lambda x: jnp.sqrt(jnp.mean(x**2, axis=(-2, -1)))
@@ -62,7 +72,7 @@ def hop_metrics(outputs, rir_a, rir_b) -> HopMetrics:
         contrast_b_db=acoustic_contrast_db(p_bb, p_ba),
         nmse_a=normalized_mse(p_aa, t_a),
         nmse_b=normalized_mse(p_bb, t_b),
-        output_rms=jnp.stack([rms(outputs.out_a), rms(outputs.out_b)]),
+        output_rms=jnp.stack([rms(out_a), rms(out_b)]),
     )
 
 

@@ -148,9 +148,14 @@ def jdiag_topk(
     d = d[::-1][:num_vectors]
     ritz = (q @ v)[:, ::-1]
     u = back_transform(ritz[:, :num_vectors])
-    # The returned subspace warm-starts the NEXT call; a single transient
-    # non-finite (degenerate warmup statistics) must not poison the carry.
+    # Transient non-finites (degenerate warmup statistics in float32) must
+    # neither poison the warm-start carry nor reach the synthesized
+    # filters: fall back to the incoming subspace, and zero bad
+    # eigenvectors (=> silent output for that hop, matching the FD
+    # engine's guard).
     ritz = jnp.where(jnp.isfinite(ritz), ritz, q_init)
+    u = jnp.where(jnp.isfinite(u), u, 0)
+    d = jnp.where(jnp.isfinite(d), d, 0)
     return u, d, ritz
 
 

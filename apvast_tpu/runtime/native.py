@@ -49,6 +49,7 @@ def load_native() -> ctypes.CDLL:
         "apvast_framer_ready": ([ptr], u64),
         "apvast_framer_pop": ([ptr, f32p], ctypes.c_int),
         "apvast_framer_dropped": ([ptr], u64),
+        "apvast_framer_writable": ([ptr], u64),
     }
     for name, (argtypes, restype) in sigs.items():
         fn = getattr(lib, name)
@@ -133,6 +134,11 @@ class HopFramer:
     @property
     def dropped(self) -> int:
         return self._lib.apvast_framer_dropped(self._handle)
+
+    @property
+    def writable(self) -> int:
+        """Free sample capacity (for atomic multi-framer admission)."""
+        return self._lib.apvast_framer_writable(self._handle)
 
     def pop(self) -> np.ndarray | None:
         out = np.empty(self.hop, dtype=np.float32)

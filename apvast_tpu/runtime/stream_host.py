@@ -48,14 +48,32 @@ class StreamHost:
             RingBuffer(self.hop * (backlog_hops + 1)) for _ in range(self.num_srcs)
         ]
         self.hops_processed = 0
+        self.dropped_input_chunks = 0
+        self.run_a = getattr(model.config, "run_a", True)
+        self.run_b = getattr(model.config, "run_b", True)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
     # -- audio-side API (callback safe) ---------------------------------
 
-    def push_input(self, chunk_a, chunk_b) -> None:
+    def push_input(self, chunk_a, chunk_b) -> bool:
+        """Push one equal-length chunk pair; atomic across both zones.
+
+        If either framer lacks space, the WHOLE pair is dropped (counted
+        in ``dropped_input_chunks``) — partial drops would permanently
+        time-skew the two programs against each other, which corrupts the
+        filter design silently. Returns True if accepted.
+        """
+        n_a = np.asarray(chunk_a).size
+        n_b = np.asarray(chunk_b).size
+        if n_a != n_b:
+            raise ValueError("zone chunks must have equal length")
+        if self.input_a.writable < n_a or self.input_b.writable < n_b:
+            self.dropped_input_chunks += 1
+            return False
         self.input_a.push(chunk_a)
         self.input_b.push(chunk_b)
+        return True
 
     def pull_output(self, zone: str, src: int, n: int) -> np.ndarray:
         rings = self.outputs_a if zone == "a" else self.outputs_b
@@ -73,11 +91,15 @@ class StreamHost:
             hop_a = self.input_a.pop()
             hop_b = self.input_b.pop()
             out_a, out_b, *_ = self.model.process_input_buffers(hop_a, hop_b)
-            feeds_a = np.asarray(out_a[self.span_index])  # (hop, srcs)
-            feeds_b = np.asarray(out_b[self.span_index])
-            for s in range(self.num_srcs):
-                self.outputs_a[s].write(feeds_a[:, s])
-                self.outputs_b[s].write(feeds_b[:, s])
+            # Disabled zones yield None (the reference's run flags).
+            if self.run_a and out_a is not None:
+                feeds_a = np.asarray(out_a[self.span_index])  # (hop, srcs)
+                for s in range(self.num_srcs):
+                    self.outputs_a[s].write(feeds_a[:, s])
+            if self.run_b and out_b is not None:
+                feeds_b = np.asarray(out_b[self.span_index])
+                for s in range(self.num_srcs):
+                    self.outputs_b[s].write(feeds_b[:, s])
             done += 1
             self.hops_processed += 1
         return done

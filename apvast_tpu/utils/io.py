@@ -20,7 +20,10 @@ def load_wav(path: str, target_rate: float | None = None, gain: float = 1.0):
     rate, data = scipy.io.wavfile.read(path)
     if data.ndim > 1:
         data = data[:, 0]
-    if np.issubdtype(data.dtype, np.integer):
+    if data.dtype == np.uint8:
+        # 8-bit PCM is unsigned with 128 = zero.
+        data = (data.astype(np.float64) - 128.0) / 128.0
+    elif np.issubdtype(data.dtype, np.integer):
         data = data.astype(np.float64) / float(np.iinfo(data.dtype).max)
     else:
         data = data.astype(np.float64)

@@ -161,4 +161,9 @@ uint64_t apvast_framer_dropped(const ApvastFramer* f) {
   return apvast_ring_overruns(f->ring);
 }
 
+// Free sample capacity (for atomic multi-framer admission control).
+uint64_t apvast_framer_writable(const ApvastFramer* f) {
+  return apvast_ring_writable(f->ring);
+}
+
 }  // extern "C"

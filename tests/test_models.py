@@ -177,3 +177,19 @@ def test_scale_scene_16_speakers(rng):
         )
     )
     assert np.isfinite(c) and c > 5.0, f"16-speaker contrast {c:.1f} dB"
+
+
+def test_config_validation_extras():
+    from apvast_tpu.config import ApVastConfig
+
+    kw = dict(rir_length=60, num_srcs=2, num_mics=2, block_size=128,
+              filter_length=12, reference_index_a=0, reference_index_b=0,
+              num_eigenvectors=3, mu=1.0, statistics_buffer_length=96,
+              sampling_rate=8000)
+    for bad in [dict(modeling_delay=12), dict(modeling_delay=-1),
+                dict(modeling_delay=4, hop_size=120)]:
+        try:
+            ApVastConfig(**{**kw, **bad})
+            raise AssertionError(f"expected rejection for {bad}")
+        except ValueError:
+            pass

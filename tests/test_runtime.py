@@ -158,3 +158,48 @@ def test_stream_host_background_thread(rng):
         time.sleep(0.01)
     host.stop()
     assert host.hops_processed == 4
+
+
+def test_stream_host_single_zone(rng):
+    """run_b=False models must stream without crashing (zone B silent)."""
+    rir_a = synthetic_rirs(60, 3, 2, seed=45)
+    rir_b = synthetic_rirs(60, 3, 2, seed=46)
+    model = ApVast(
+        block_size=128, rir_a=rir_a, rir_b=rir_b, filter_length=12,
+        modeling_delay=4, reference_index_a=0, reference_index_b=0,
+        number_of_eigenvectors=3, mu=1.0, statistics_buffer_length=96,
+        sampling_rate=8000, perceptual=False, run_b=False,
+        key=jax.random.key(0), dtype="float32",
+    )
+    host = StreamHost(model)
+    hop = model.config.hop
+    for _ in range(3):
+        assert host.push_input(
+            rng.standard_normal(hop).astype(np.float32),
+            rng.standard_normal(hop).astype(np.float32),
+        )
+    assert host.process_pending() == 3
+    out = host.pull_output("a", 0, hop * 3)
+    assert np.isfinite(out).all()
+
+
+def test_push_input_atomic_drop(rng):
+    """A chunk pair that does not fit in BOTH rings is dropped whole —
+    the zones never desynchronize."""
+    rir_a = synthetic_rirs(60, 2, 2, seed=47)
+    model = ApVast(
+        block_size=128, rir_a=rir_a, rir_b=rir_a, filter_length=12,
+        modeling_delay=4, reference_index_a=0, reference_index_b=0,
+        number_of_eigenvectors=2, mu=1.0, statistics_buffer_length=96,
+        sampling_rate=8000, perceptual=False, key=jax.random.key(0),
+        dtype="float32",
+    )
+    host = StreamHost(model, backlog_hops=1)
+    hop = model.config.hop
+    chunk = rng.standard_normal(hop).astype(np.float32)
+    accepted = 0
+    for _ in range(10):  # overflow the small backlog
+        accepted += int(host.push_input(chunk, chunk))
+    assert host.dropped_input_chunks > 0
+    # Alignment invariant: both framers hold identical sample counts.
+    assert host.input_a.ready == host.input_b.ready

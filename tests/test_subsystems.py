@@ -196,3 +196,14 @@ def test_fd_state_checkpoint_roundtrip(tmp_path):
     back = load_state(path, state_cls=FdState)
     np.testing.assert_array_equal(np.asarray(back.cov), np.asarray(state.cov))
     np.testing.assert_array_equal(np.asarray(back.resp), np.asarray(state.resp))
+
+
+def test_hop_metrics_disabled_zone(small_scene):
+    """hop_metrics must handle a disabled zone (out_b None)."""
+    cfg, rir_a, rir_b = small_scene
+    cfg = dataclasses.replace(cfg, run_b=False)
+    _, outs = _run(cfg, rir_a, rir_b, hops=3)
+    m = hop_metrics(outs[-1], jnp.asarray(rir_a), jnp.asarray(rir_b))
+    assert np.isfinite(np.asarray(m.contrast_a_db)).all()
+    # Disabled zone reports zero RMS.
+    np.testing.assert_allclose(np.asarray(m.output_rms[1]), 0.0)

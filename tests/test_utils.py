@@ -56,3 +56,15 @@ def test_from_vast_layout(rng):
     out = from_vast_layout(g)
     assert out.shape == (40, 2, 3)
     np.testing.assert_array_equal(out[:, 1, 2], g[2, :, 1])
+
+
+def test_load_wav_uint8(tmp_path):
+    import scipy.io.wavfile
+
+    sig = 0.25 * np.sin(2 * np.pi * 200 * np.arange(4000) / 8000.0)
+    path = str(tmp_path / "u8.wav")
+    scipy.io.wavfile.write(path, 8000, ((sig * 127) + 128).astype(np.uint8))
+    back, rate = load_wav(path)
+    assert rate == 8000
+    assert abs(float(back.mean())) < 0.02  # no DC offset
+    np.testing.assert_allclose(back, sig, atol=2e-2)
