@@ -192,6 +192,10 @@ class ApVastConfig:
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).
     use_pallas_output: bool = False
+    # Run the stage-1 streaming RIR convolution as a Pallas windows-matmul
+    # instead of overlap-save FFTs (float32 only; incompatible with mic
+    # sharding because the kernel stack folds the mic axis into rows).
+    use_pallas_conv: bool = False
     # MATLAB-style multi-solution mode (apVast.m:113-120): when set, the
     # engine still diagonalizes with num_eigenvectors = max(output_spans)
     # but synthesizes outputs only for these span ranks (1-based), instead

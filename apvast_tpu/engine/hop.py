@@ -78,18 +78,43 @@ def _spectral_norm(mat: jax.Array) -> jax.Array:
 
 def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
     """Stage 1: streaming RIR convolution (ref apvast.py:167-194), shared
-    by the time-domain and frequency-domain engines."""
+    by the time-domain and frequency-domain engines. Two equivalent
+    implementations: batched overlap-save FFTs, or (use_pallas_conv) one
+    windows-matmul Pallas kernel per program signal."""
     hop = config.hop
     nf = config.fir_fft_size
+    m = resp.shape[1]
+    s = resp.shape[2]
     segments = jnp.concatenate([conv_history, hops], axis=-1)  # (2, nf)
-    seg_spec = jnp.fft.rfft(segments, axis=-1)  # (2, nf/2+1)
-    path_spec = (
-        plan.rir_spec[jnp.asarray(_PATH_RIR)]
-        * seg_spec[jnp.asarray(_PATH_SIGNAL)][:, None, None, :]
-    )  # (4, m, s, nf/2+1)
-    new_resp = irfft_batched(path_spec, nf)[..., nf - hop :]
-    tgt_path_spec = plan.target_rir_spec * seg_spec[:, None, :]  # (2, m, ·)
-    new_target = irfft_batched(tgt_path_spec, nf)[..., nf - hop :]
+    if config.use_pallas_conv:
+        from apvast_tpu.ops.pallas.streaming_conv import streaming_conv_pallas
+
+        out = streaming_conv_pallas(
+            segments,
+            plan.conv_kernels,
+            hop,
+            interpret=(jax.default_backend() == "cpu"),
+        )  # (2, 2*m*s + m, hop)
+        ms = m * s
+        # Row layout per signal: [rir_A (m*s), rir_B (m*s), target_z (m)].
+        new_resp = jnp.stack(
+            [
+                out[0, :ms],
+                out[0, ms : 2 * ms],
+                out[1, :ms],
+                out[1, ms : 2 * ms],
+            ]
+        ).reshape(4, m, s, hop)
+        new_target = out[:, 2 * ms :, :]  # (2, m, hop)
+    else:
+        seg_spec = jnp.fft.rfft(segments, axis=-1)  # (2, nf/2+1)
+        path_spec = (
+            plan.rir_spec[jnp.asarray(_PATH_RIR)]
+            * seg_spec[jnp.asarray(_PATH_SIGNAL)][:, None, None, :]
+        )  # (4, m, s, nf/2+1)
+        new_resp = irfft_batched(path_spec, nf)[..., nf - hop :]
+        tgt_path_spec = plan.target_rir_spec * seg_spec[:, None, :]  # (2, m, ·)
+        new_target = irfft_batched(tgt_path_spec, nf)[..., nf - hop :]
     return (
         segments[:, hop:],
         slide(resp, new_resp),

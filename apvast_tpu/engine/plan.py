@@ -41,6 +41,10 @@ class ApVastPlan:
     # (2, num_srcs, num_bins) complex spectra of the per-zone delta target
     # playback filters.
     target_filter_spec: jax.Array
+    # (2, 2*m*s + m, rir_length) raw FIR kernel rows per program signal
+    # for the Pallas streaming-convolution path:
+    # [rir_A rows (m*s), rir_B rows (m*s), target_z rows (m)].
+    conv_kernels: jax.Array
     # Perceptual tables (None when config.perceptual is False).
     cfmr_sq: jax.Array | None
     cs: jax.Array | None
@@ -138,8 +142,18 @@ def build_plan(
         leff = jnp.asarray(tables.leff, dtype=dtype)
         spectrum_scale = jnp.asarray(tables.spectrum_scale, dtype=dtype)
 
+    # Raw kernel rows for the Pallas streaming-convolution path.
+    rir_rows = kernels.reshape(2, -1, config.rir_length)  # (2=AB, m*s, taps)
+    conv_kernels = np.stack(
+        [
+            np.concatenate([rir_rows[0], rir_rows[1], target_kernels[0]]),
+            np.concatenate([rir_rows[0], rir_rows[1], target_kernels[1]]),
+        ]
+    )
+
     return ApVastPlan(
         window=sine_window(config.block_size, dtype=dtype),
+        conv_kernels=jnp.asarray(conv_kernels),
         rir_spec=jnp.asarray(rir_spec),
         target_rir_spec=jnp.asarray(target_rir_spec),
         target_filter_spec=jnp.asarray(target_filter_spec),

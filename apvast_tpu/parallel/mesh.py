@@ -50,6 +50,7 @@ _STATE_MIC_DIM = {
 }
 _PLAN_MIC_DIM = {
     "window": None,
+    "conv_kernels": None,
     "rir_spec": 1,
     "target_rir_spec": 1,
     "target_filter_spec": None,

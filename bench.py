@@ -69,6 +69,7 @@ def measure(device: str) -> int:
         subspace_iters=2,
         use_pallas_statistics=(device == "tpu"),
         use_pallas_output=(device == "tpu"),
+        use_pallas_conv=(device == "tpu"),
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))

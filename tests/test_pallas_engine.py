@@ -128,3 +128,12 @@ def test_pallas_output_target_roll(small_scene):
         np.testing.assert_allclose(
             np.asarray(p_out.out_b_t), np.asarray(out.out_b_t), rtol=1e-4, atol=1e-6
         )
+
+
+def test_pallas_conv_matches_fft_path():
+    """The windows-matmul streaming convolution equals the FFT path."""
+    cfg, rir_a, rir_b = _cfg(ToeplitzVariant.PYTHON)
+    want = _run(cfg, rir_a, rir_b)
+    got = _run(dataclasses.replace(cfg, use_pallas_conv=True), rir_a, rir_b)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=0.05, atol=1e-4)
