@@ -169,6 +169,11 @@ def process_hop(
     dtype = jnp.dtype(config.dtype)
     hop, block = config.hop, config.block_size
     j, s, v = config.filter_length, config.num_srcs, config.num_eigenvectors
+    if mic_axis is not None and config.use_pallas_conv:
+        raise ValueError(
+            "use_pallas_conv is incompatible with mic sharding (the kernel "
+            "row stack folds the global mic axis)"
+        )
     # Local microphone count: equals config.num_mics unless the mic axis
     # is sharded (shard_map hands each device its mic block).
     m = state.resp.shape[1]

@@ -203,3 +203,43 @@ def test_config_validation_extras():
             raise AssertionError(f"expected rejection for {bad}")
         except ValueError:
             pass
+
+
+@pytest.mark.slow
+def test_long_run_stability(rng):
+    """100 hops in float32 production mode (subspace + guards): outputs
+    stay finite and steady-state contrast does not degrade."""
+    import dataclasses
+
+    from apvast_tpu.config import ApVastConfig, GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, run_stream
+
+    rir_a = synthetic_rirs(120, 4, 3, seed=21)
+    rir_b = synthetic_rirs(120, 4, 3, seed=22)
+    cfg = ApVastConfig.for_rirs(
+        rir_a, rir_b, block_size=256, filter_length=24, modeling_delay=6,
+        reference_index_a=0, reference_index_b=0, num_eigenvectors=8,
+        mu=1.0, statistics_buffer_length=256, sampling_rate=8000,
+        perceptual=True, dtype="float32",
+        gevd_solver=GevdSolver.SUBSPACE, reg_b_relative=1e-6,
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    sig = rng.standard_normal(cfg.hop * 100).astype(np.float32)
+    sig2 = rng.standard_normal(cfg.hop * 100).astype(np.float32)
+    state, outs = run_stream(cfg, plan, state, jnp.asarray(sig), jnp.asarray(sig2))
+    stacked = np.asarray(outs.out_a)  # (100, 8, hop, 4)
+    assert np.isfinite(stacked).all()
+
+    def contrast(sl):
+        feeds = stacked[sl, 0].reshape(-1, 4)
+        return float(
+            acoustic_contrast_db(
+                predict_pressure(jnp.asarray(feeds), jnp.asarray(rir_a)),
+                predict_pressure(jnp.asarray(feeds), jnp.asarray(rir_b)),
+            )
+        )
+
+    early = contrast(slice(10, 40))
+    late = contrast(slice(70, 100))
+    assert late > early - 1.5, f"contrast degraded: {early:.1f} -> {late:.1f} dB"
