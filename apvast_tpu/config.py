@@ -196,6 +196,11 @@ class ApVastConfig:
     # instead of overlap-save FFTs (float32 only; incompatible with mic
     # sharding because the kernel stack folds the mic axis into rows).
     use_pallas_conv: bool = False
+    # Evaluate the WOLA analysis/synthesis transforms as DFT matmuls on
+    # the MXU instead of FFT custom-calls (float32 production only: the
+    # O(N) matmul-DFT rounding is ~1e-4 relative at N=1600, well inside
+    # float32 engine tolerances but not parity-grade).
+    use_matmul_dft: bool = False
     # MATLAB-style multi-solution mode (apVast.m:113-120): when set, the
     # engine still diagonalizes with num_eigenvectors = max(output_spans)
     # but synthesizes outputs only for these span ranks (1-based), instead

@@ -122,6 +122,40 @@ def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
     )
 
 
+def _analyze(config, plan, blocks):
+    """WOLA analysis: FFT custom-call, or (use_matmul_dft) two MXU
+    matmuls against the plan's DFT matrices — numerically the same
+    transform with O(N) instead of O(log N) rounding."""
+    if config.use_matmul_dft:
+        x = plan.window * blocks
+        re = jnp.einsum(
+            "...n,nk->...k", x, plan.dft_cos, preferred_element_type=x.dtype
+        )
+        im = -jnp.einsum(
+            "...n,nk->...k", x, plan.dft_sin, preferred_element_type=x.dtype
+        )
+        return re + 1j * im
+    return wola_analyze(plan.window, blocks)
+
+
+def _synthesize(config, plan, spectra, block):
+    """WOLA synthesis: inverse FFT, or inverse-DFT matmuls."""
+    if config.use_matmul_dft:
+        x = jnp.einsum(
+            "...k,kn->...n",
+            jnp.real(spectra),
+            plan.idft_cos,
+            preferred_element_type=plan.idft_cos.dtype,
+        ) - jnp.einsum(
+            "...k,kn->...n",
+            jnp.imag(spectra),
+            plan.idft_sin,
+            preferred_element_type=plan.idft_sin.dtype,
+        )
+        return plan.window * x
+    return wola_synthesize(plan.window, spectra, block)
+
+
 def weighted_spectra(config, plan, resp, target_resp):
     """Stages 2+3 (spectral part): WOLA analysis of the target and
     loudspeaker responses, perceptual weighting, zone gating
@@ -129,7 +163,7 @@ def weighted_spectra(config, plan, resp, target_resp):
     weighted+gated, weighting)."""
     dtype = jnp.dtype(config.dtype)
     win = plan.window
-    t_spec = wola_analyze(win, target_resp)  # (2, m, bins) complex
+    t_spec = _analyze(config, plan, target_resp)  # (2, m, bins) complex
     if config.perceptual:
         weighting = perceptual_gain(
             t_spec,
@@ -143,7 +177,7 @@ def weighted_spectra(config, plan, resp, target_resp):
     else:
         weighting = jnp.ones(t_spec.shape, dtype=dtype)  # apvast.py:325-327
 
-    r_spec = wola_analyze(win, resp)  # (4, m, s, bins)
+    r_spec = _analyze(config, plan, resp)  # (4, m, s, bins)
     # Zone run flags gate by *signal*: paths 0,1 carry signal A, paths 2,3
     # signal B (apvast.py:245-255). Static mask folds into the constants.
     gate = jnp.asarray(
@@ -187,11 +221,11 @@ def process_hop(
 
     # ---- 2+3. perceptual weighting of target and responses -------------
     wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
-    new_wt = wola_synthesize(win, wt_spec, block)
+    new_wt = _synthesize(config, plan, wt_spec, block)
     wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
     wtarget_stat = slide(state.wtarget_stat, wt_emit)
 
-    new_wr = wola_synthesize(win, r_spec, block)
+    new_wr = _synthesize(config, plan, r_spec, block)
     wresp_overlap, wr_emit = wola_overlap_add(state.wresp_overlap, new_wr, hop)
     wresp_stat = slide(state.wresp_stat, wr_emit)
 
@@ -209,23 +243,14 @@ def process_hop(
             )
         else:
             buf_eff = wresp_stat
-        r_mats = covariance_pallas(
-            buf_eff, j, interpret=(jax.default_backend() == "cpu")
-        )
-        # Cross-correlation vector via FFT instead of frames:
-        # r[(s, i)] = sum_m sum_k buf_eff[J-1-i+k] d[k].
-        n_eff = buf_eff.shape[-1]
-        k = n_eff - j + 1
-        nfft = 1
-        while nfft < n_eff:
-            nfft *= 2
+        k = buf_eff.shape[-1] - j + 1
         d = wtarget_stat[..., -k:]  # (2, m, k) target alignment
-        buf_spec = rfft_batched(buf_eff[jnp.asarray([0, 3])], nfft)
-        d_spec = rfft_batched(d, nfft)
-        corr = irfft_batched(
-            buf_spec * jnp.conj(d_spec)[:, :, None, :], nfft
-        )[..., :j]  # (2, m, s, j): corr[tau] at tau = J-1-i
-        r_vecs = jnp.flip(corr, axis=-1).sum(axis=1).reshape(2, s * j)
+        r_mats, r_cross = covariance_pallas(
+            buf_eff, d, j, interpret=(jax.default_backend() == "cpu")
+        )
+        # Bright paths against their own zone's target
+        # (Python/apvast.py:340,356).
+        r_vecs = jnp.stack([r_cross[0, :, 0], r_cross[3, :, 1]])
     else:
         frames = frame_buffer(wresp_stat, j, config.toeplitz_variant)
         # (4, m, s, k, j) -> Y with rows = source-major reversed taps.
@@ -352,11 +377,11 @@ def process_hop(
         new_t_out = win * t_blocks
     else:
         filt_spec = rfft_batched(filters, block)  # (2, v, s, bins)
-        in_spec = wola_analyze(win, input_blocks)  # (2, bins)
+        in_spec = _analyze(config, plan, input_blocks)  # (2, bins)
         out_spec = in_spec[:, None, None, :] * filt_spec
-        new_out = wola_synthesize(win, out_spec, block)
+        new_out = _synthesize(config, plan, out_spec, block)
         t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
-        new_t_out = wola_synthesize(win, t_out_spec, block)
+        new_t_out = _synthesize(config, plan, t_out_spec, block)
 
     out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
     target_out_overlap, t_emit = wola_overlap_add(

@@ -45,6 +45,14 @@ class ApVastPlan:
     # for the Pallas streaming-convolution path:
     # [rir_A rows (m*s), rir_B rows (m*s), target_z rows (m)].
     conv_kernels: jax.Array
+    # Matmul-DFT matrices for the WOLA transforms (None unless
+    # config.use_matmul_dft): forward (block, bins) cos/sin and inverse
+    # (bins, block) cos/sin with the one-sided reconstruction weights
+    # folded in.
+    dft_cos: jax.Array | None
+    dft_sin: jax.Array | None
+    idft_cos: jax.Array | None
+    idft_sin: jax.Array | None
     # Perceptual tables (None when config.perceptual is False).
     cfmr_sq: jax.Array | None
     cs: jax.Array | None
@@ -151,12 +159,33 @@ def build_plan(
         ]
     )
 
+    dft_cos = dft_sin = idft_cos = idft_sin = None
+    if config.use_matmul_dft:
+        block = config.block_size
+        ang = (
+            2.0
+            * np.pi
+            * np.outer(np.arange(block), np.arange(block // 2 + 1))
+            / block
+        )
+        inv_w = np.full(block // 2 + 1, 2.0 / block)
+        inv_w[0] = 1.0 / block
+        inv_w[-1] = 1.0 / block
+        dft_cos = jnp.asarray(np.cos(ang), dtype=dtype)
+        dft_sin = jnp.asarray(np.sin(ang), dtype=dtype)
+        idft_cos = jnp.asarray((np.cos(ang) * inv_w).T, dtype=dtype)
+        idft_sin = jnp.asarray((np.sin(ang) * inv_w).T, dtype=dtype)
+
     return ApVastPlan(
         window=sine_window(config.block_size, dtype=dtype),
         conv_kernels=jnp.asarray(conv_kernels),
         rir_spec=jnp.asarray(rir_spec),
         target_rir_spec=jnp.asarray(target_rir_spec),
         target_filter_spec=jnp.asarray(target_filter_spec),
+        dft_cos=dft_cos,
+        dft_sin=dft_sin,
+        idft_cos=idft_cos,
+        idft_sin=idft_sin,
         cfmr_sq=cfmr_sq,
         cs=cs,
         ca=ca,

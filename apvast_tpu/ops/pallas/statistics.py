@@ -1,4 +1,4 @@
-"""Fused framing + covariance accumulation as a Pallas TPU kernel.
+"""Fused framing + covariance + cross-correlation as one Pallas kernel.
 
 The XLA statistics path materializes the frame tensor
 (paths, mics, srcs, K, J) — ~100 MB at the reference scale — writes it to
@@ -8,10 +8,13 @@ grid step DMAs one (srcs, N) buffer plane into VMEM, builds the full
 (srcs*J, K) sliding-window matrix in scratch (statically unrolled row
 shifts — Mosaic lowers constant-offset lane slices to vector shifts),
 and runs ONE (SJ, K) x (K, SJ) contraction on the MXU, accumulating the
-microphone sum in the resident (SJ, SJ) output tile.
+microphone sum in the resident (SJ, SJ) output tile. The same resident
+windows also produce the cross-correlation vector r = Y d
+(Python/apvast.py:340,356) as a second tiny contraction — no separate
+FFT-correlation pass.
 
-Semantics equal ``framing.frame_buffer`` + the covariance einsum in
-``engine.hop`` (the deleted-sample PYTHON variant is handled by the
+Semantics equal ``framing.frame_buffer`` + the covariance/cross einsums
+in ``engine.hop`` (the deleted-sample PYTHON variant is handled by the
 caller passing the sample-deleted buffer); verified element-exact against
 the XLA path in tests/test_pallas_statistics.py (interpret mode on CPU,
 compiled on TPU).
@@ -27,7 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(buf_ref, out_ref, windows, *, num_srcs, frame_length, num_frames):
+def _kernel(
+    buf_ref, d_ref, out_ref, out_r_ref, windows, *, num_srcs, frame_length,
+    num_frames,
+):
     s, j, k = num_srcs, frame_length, num_frames
     m = pl.program_id(1)
 
@@ -46,29 +52,46 @@ def _kernel(buf_ref, out_ref, windows, *, num_srcs, frame_length, num_frames):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    # Cross-correlation against both zones' aligned targets (the engine
+    # consumes path 0 with zone A's and path 3 with zone B's column).
+    r_tile = jax.lax.dot_general(
+        windows[:],
+        d_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (s*j, 2)
 
     @pl.when(m == 0)
     def _():
         out_ref[0] = tile
+        out_r_ref[0] = r_tile
 
     @pl.when(m > 0)
     def _():
         out_ref[0] = out_ref[0] + tile
+        out_r_ref[0] = out_r_ref[0] + r_tile
 
 
 def covariance_pallas(
-    buffers: jax.Array, frame_length: int, interpret: bool = False
-) -> jax.Array:
-    """R[p] = sum_m Y_pm Y_pm^T from sliding windows of the buffers.
+    buffers: jax.Array,
+    targets: jax.Array,
+    frame_length: int,
+    interpret: bool = False,
+):
+    """R[p] = sum_m Y_pm Y_pm^T and r[p, :, z] = sum_m Y_pm d_zm.
 
     Args:
         buffers: (paths, mics, srcs, n) float32 statistics buffers
             (sample-deleted already for the PYTHON Toeplitz variant).
+        targets: (2, mics, k) float32 aligned weighted-target windows
+            (k = n - frame_length + 1).
         frame_length: J.
 
     Returns:
-        (paths, srcs * J, srcs * J) float32 covariance matrices in the
-        engine's source-major row layout.
+        (r_mats, r_cross): (paths, srcs*J, srcs*J) covariance matrices in
+        the engine's source-major row layout, and (paths, srcs*J, 2)
+        cross-correlations against each zone's target (the engine uses
+        [0, :, 0] and [3, :, 1]).
     """
     p, m, s, n = buffers.shape
     j = frame_length
@@ -80,10 +103,19 @@ def covariance_pallas(
         lambda pi, mi: (pi, mi, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    # Targets rearranged (mics, 2, k) so the per-mic block has trailing
+    # dims (2, k) == whole axes (Mosaic alignment rule).
+    d_by_mic = targets.transpose(1, 0, 2)
+    d_spec = pl.BlockSpec(
+        (1, 2, k), lambda pi, mi: (mi, 0, 0), memory_space=pltpu.VMEM
+    )
     out_spec = pl.BlockSpec(
         (1, s * j, s * j),
         lambda pi, mi: (pi, 0, 0),
         memory_space=pltpu.VMEM,
+    )
+    out_r_spec = pl.BlockSpec(
+        (1, s * j, 2), lambda pi, mi: (pi, 0, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
         _kernel, num_srcs=s, frame_length=j, num_frames=k
@@ -91,14 +123,17 @@ def covariance_pallas(
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[buf_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((p, s * j, s * j), jnp.float32),
+        in_specs=[buf_spec, d_spec],
+        out_specs=(out_spec, out_r_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, s * j, s * j), jnp.float32),
+            jax.ShapeDtypeStruct((p, s * j, 2), jnp.float32),
+        ),
         scratch_shapes=[pltpu.VMEM((s * j, k), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * m * (s * j) * (s * j) * k,
+            flops=2 * p * m * (s * j) * (s * j + 2) * k,
             bytes_accessed=p * m * s * n * 4 + p * (s * j) ** 2 * 4,
             transcendentals=0,
         ),
-    )(buffers)
+    )(buffers, d_by_mic)

@@ -51,6 +51,10 @@ _STATE_MIC_DIM = {
 _PLAN_MIC_DIM = {
     "window": None,
     "conv_kernels": None,
+    "dft_cos": None,
+    "dft_sin": None,
+    "idft_cos": None,
+    "idft_sin": None,
     "rir_spec": 1,
     "target_rir_spec": 1,
     "target_filter_spec": None,

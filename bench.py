@@ -70,6 +70,7 @@ def measure(device: str) -> int:
         use_pallas_statistics=(device == "tpu"),
         use_pallas_output=(device == "tpu"),
         use_pallas_conv=(device == "tpu"),
+        use_matmul_dft=(device == "tpu"),
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))

@@ -137,3 +137,12 @@ def test_pallas_conv_matches_fft_path():
     got = _run(dataclasses.replace(cfg, use_pallas_conv=True), rir_a, rir_b)
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=0.05, atol=1e-4)
+
+
+def test_matmul_dft_matches_fft_path():
+    """use_matmul_dft replaces WOLA FFTs with DFT matmuls — same outputs."""
+    cfg, rir_a, rir_b = _cfg(ToeplitzVariant.PYTHON)
+    want = _run(cfg, rir_a, rir_b)
+    got = _run(dataclasses.replace(cfg, use_matmul_dft=True), rir_a, rir_b)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=0.05, atol=1e-4)

@@ -9,36 +9,43 @@ from apvast_tpu.ops.framing import frame_buffer
 from apvast_tpu.ops.pallas.statistics import covariance_pallas
 
 
-def _xla_covariance(buffers, j, variant):
+def _xla_statistics(buffers, targets, j, variant):
     frames = frame_buffer(buffers, j, variant)
     p, m, s, k, _ = frames.shape
     y = jnp.flip(frames, axis=-1).transpose(0, 1, 2, 4, 3).reshape(p, m, s * j, k)
-    return jnp.einsum("pmak,pmbk->pab", y, y)
+    r = jnp.einsum("pmak,pmbk->pab", y, y)
+    d = targets[..., -k:]
+    cross = jnp.einsum("pmak,zmk->paz", y, d)
+    return r, cross
 
 
 def test_matches_xla_matlab_variant(rng):
-    buf = jnp.asarray(
-        rng.standard_normal((2, 3, 2, 64)).astype(np.float32)
-    )
+    buf = jnp.asarray(rng.standard_normal((2, 3, 2, 64)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((2, 3, 64)).astype(np.float32))
     j = 8
-    want = _xla_covariance(buf, j, ToeplitzVariant.MATLAB)
-    got = covariance_pallas(buf, j, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-4)
+    k = 64 - j + 1
+    want_r, want_c = _xla_statistics(buf, tgt, j, ToeplitzVariant.MATLAB)
+    got_r, got_c = covariance_pallas(buf, tgt[..., -k:], j, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), rtol=2e-5, atol=1e-4)
 
 
 def test_matches_xla_python_variant(rng):
     """PYTHON variant = caller deletes buffer sample J before the kernel."""
-    buf = jnp.asarray(
-        rng.standard_normal((4, 2, 3, 50)).astype(np.float32)
-    )
+    buf = jnp.asarray(rng.standard_normal((4, 2, 3, 50)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((2, 2, 50)).astype(np.float32))
     j = 6
-    want = _xla_covariance(buf, j, ToeplitzVariant.PYTHON)
+    k = 50 - j  # deleted-sample variant
+    want_r, want_c = _xla_statistics(buf, tgt, j, ToeplitzVariant.PYTHON)
     deleted = jnp.concatenate([buf[..., :j], buf[..., j + 1 :]], axis=-1)
-    got = covariance_pallas(deleted, j, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-4)
+    got_r, got_c = covariance_pallas(deleted, tgt[..., -k:], j, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), rtol=2e-5, atol=1e-4)
 
 
 def test_symmetry(rng):
     buf = jnp.asarray(rng.standard_normal((1, 2, 2, 40)).astype(np.float32))
-    r = np.asarray(covariance_pallas(buf, 5, interpret=True))
+    tgt = jnp.asarray(rng.standard_normal((2, 2, 36)).astype(np.float32))
+    r, _ = covariance_pallas(buf, tgt, 5, interpret=True)
+    r = np.asarray(r)
     np.testing.assert_allclose(r[0], r[0].T, rtol=1e-5, atol=1e-5)
