@@ -65,7 +65,7 @@ def measure(device: str) -> int:
         # contrast-exact vs the reference solver at every rank on this
         # scene, tests/test_subspace_solver.py) + fused Pallas statistics.
         gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
+        subspace_oversample=6,
         subspace_iters=2,
         use_pallas_statistics=(device == "tpu"),
         use_pallas_output=(device == "tpu"),
