@@ -209,9 +209,7 @@ def process_hop_fd(
     )
 
     out_vhs = out_emit.transpose(0, 1, 3, 2)
-    t_vhs = jnp.broadcast_to(
-        t_emit.transpose(0, 2, 1)[:, None], (2, v, hop, s)
-    )
+    t_vhs = t_emit.transpose(0, 2, 1)  # (2, hop, s): single target copy
 
     new_state = FdState(
         conv_history=conv_history,

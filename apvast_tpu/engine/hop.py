@@ -59,6 +59,10 @@ class HopOutputs:
 
     out_a: jax.Array | None
     out_b: jax.Array | None
+    # Target outputs are (hop, srcs) — ONE copy. The reference emits V
+    # identical copies (apvast.py:501-504); the model wrappers broadcast
+    # at the API boundary so the scan carry never materializes V
+    # duplicates (at V = JL the duplicates would dwarf everything else).
     out_a_t: jax.Array
     out_b_t: jax.Array
 
@@ -391,8 +395,10 @@ def process_hop(
     # Emit (v, hop, srcs), target outputs broadcast over the rank axis to
     # match the reference's per-rank duplicated target list
     # (apvast.py:501-504).
+    # Emit (v, hop, srcs); targets as a single (hop, srcs) copy (the
+    # wrappers broadcast to the reference's per-rank duplicated list).
     out_vhs = out_emit.transpose(0, 1, 3, 2)  # (2, v, hop, s)
-    t_vhs = jnp.broadcast_to(t_emit.transpose(0, 2, 1)[:, None], (2, v, hop, s))
+    t_vhs = t_emit.transpose(0, 2, 1)  # (2, hop, s)
 
     new_state = ApVastState(
         conv_history=conv_history,

@@ -98,7 +98,14 @@ class ApVastFD:
         if input_a.shape[0] != hop or input_b.shape[0] != hop:
             raise ValueError(f"inputs must be exactly hop={hop} samples")
         self.state, outputs = self._hop_fn(self.plan, self.state, input_a, input_b)
-        return outputs.out_a, outputs.out_b, outputs.out_a_t, outputs.out_b_t
+        v = self.config.num_eigenvectors
+        tile = lambda t: jnp.broadcast_to(t, (v, *t.shape))
+        return (
+            outputs.out_a,
+            outputs.out_b,
+            tile(outputs.out_a_t),
+            tile(outputs.out_b_t),
+        )
 
     def process_signals(self, signal_a, signal_b):
         signal_a = jnp.asarray(signal_a).reshape(-1)
@@ -110,11 +117,17 @@ class ApVastFD:
             self.plan, self.state, signal_a[:n], signal_b[:n]
         )
         stitch = lambda x: None if x is None else stitch_outputs(x)
+        v = self.config.num_eigenvectors
+
+        def stitch_target(t):
+            flat = t.reshape(-1, t.shape[-1])
+            return jnp.broadcast_to(flat, (v, *flat.shape))
+
         return (
             stitch(outs.out_a),
             stitch(outs.out_b),
-            stitch(outs.out_a_t),
-            stitch(outs.out_b_t),
+            stitch_target(outs.out_a_t),
+            stitch_target(outs.out_b_t),
         )
 
     def reset(self, key: jax.Array | None = None) -> None:

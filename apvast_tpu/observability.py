@@ -54,18 +54,20 @@ def hop_metrics(outputs, rir_a, rir_b) -> HopMetrics:
     """
     # Zero feeds for a disabled zone (shape borrowed from the always
     # present target outputs).
-    out_a = outputs.out_a if outputs.out_a is not None else jnp.zeros_like(
-        outputs.out_a_t
-    )
-    out_b = outputs.out_b if outputs.out_b is not None else jnp.zeros_like(
-        outputs.out_b_t
-    )
+    def zeros_like_feeds(t, ref):
+        if t is not None:
+            return t
+        spans = ref.shape[0] if ref is not None else 1
+        return jnp.zeros((spans, *outputs.out_a_t.shape), outputs.out_a_t.dtype)
+
+    out_a = zeros_like_feeds(outputs.out_a, outputs.out_b)
+    out_b = zeros_like_feeds(outputs.out_b, outputs.out_a)
     p_aa = predict_pressure(out_a, rir_a)
     p_ab = predict_pressure(out_a, rir_b)
     p_bb = predict_pressure(out_b, rir_b)
     p_ba = predict_pressure(out_b, rir_a)
-    t_a = predict_pressure(outputs.out_a_t, rir_a)
-    t_b = predict_pressure(outputs.out_b_t, rir_b)
+    t_a = predict_pressure(outputs.out_a_t[None], rir_a)  # (1, hop, mics)
+    t_b = predict_pressure(outputs.out_b_t[None], rir_b)
     rms = lambda x: jnp.sqrt(jnp.mean(x**2, axis=(-2, -1)))
     return HopMetrics(
         contrast_a_db=acoustic_contrast_db(p_aa, p_ab),

@@ -43,7 +43,10 @@ def _run_both(cfg, rir_a, rir_b, num_hops, seed=7):
     for h in range(num_hops):
         want = oracle.process(hops_a[h], hops_b[h])
         state, out = hop_fn(state, jnp.asarray(hops_a[h]), jnp.asarray(hops_b[h]))
-        got = (out.out_a, out.out_b, out.out_a_t, out.out_b_t)
+        # Engine targets are single-copy (hop, s); the reference emits V
+        # identical copies — broadcast for comparison.
+        tile = lambda t: jnp.broadcast_to(t, (cfg.num_eigenvectors, *t.shape))
+        got = (out.out_a, out.out_b, tile(out.out_a_t), tile(out.out_b_t))
         results.append((got, want))
     return results
 

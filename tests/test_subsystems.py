@@ -50,7 +50,8 @@ def test_output_spans_selects_from_rank_family(small_scene):
             atol=1e-14,
         )
         assert s.out_b.shape[0] == 3
-        assert s.out_a_t.shape[0] == 3
+        # Targets are single-copy in HopOutputs (wrappers broadcast).
+        assert s.out_a_t.ndim == 2
 
 
 def test_checkpoint_resume_exact(tmp_path, small_scene):

@@ -123,11 +123,12 @@ def test_parity_vs_actual_reference(num_eigenvectors):
         hop_b = rng.standard_normal(cfg.hop)
         want_a, want_b, want_at, want_bt = ref.process_input_buffers(hop_a, hop_b)
         state, out = hop_fn(state, jnp.asarray(hop_a), jnp.asarray(hop_b))
+        tile = lambda t: jnp.broadcast_to(t, (num_eigenvectors, *t.shape))
         for got, want in [
             (out.out_a, want_a),
             (out.out_b, want_b),
-            (out.out_a_t, want_at),
-            (out.out_b_t, want_bt),
+            (tile(out.out_a_t), want_at),
+            (tile(out.out_b_t), want_bt),
         ]:
             got = np.asarray(got)
             want = np.stack(want)
