@@ -6,6 +6,7 @@ both matrices, symmetric weighting norm, per-zone target filters."""
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -110,3 +111,58 @@ def test_normalized_statistics_scale_invariance(small_scene):
     assert not np.allclose(
         np.asarray(plain[-1].out_a), np.asarray(normed[-1].out_a)
     )
+
+
+@pytest.mark.slow
+def test_full_span_pressure_matching_demo_config():
+    """The reference demo's exact span set [1, JL/2, JL] (Matlab/main.m:38)
+    at full scale: spans up to pressure matching (V = JL = 800) with the
+    exact solver, float32. Contrast decreases and target fidelity
+    improves from BACC to PM."""
+    import dataclasses
+
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.utils.rir import load_reference_rirs
+
+    rir_a, rir_b = load_reference_rirs()
+    jl = 100 * 8
+    cfg = ApVastConfig.for_rirs(
+        rir_a, rir_b, block_size=1600, filter_length=100, modeling_delay=20,
+        reference_index_a=7, reference_index_b=7, num_eigenvectors=jl,
+        mu=1.0, statistics_buffer_length=1000, sampling_rate=48000,
+        perceptual=False, dtype="float32", output_spans=(1, jl // 2, jl),
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    rng = np.random.default_rng(2)
+    outs = []
+    for _ in range(8):
+        state, out = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32),
+            jnp.asarray(rng.standard_normal(cfg.hop), dtype=jnp.float32),
+        )
+        outs.append(out)
+    assert outs[-1].out_a.shape == (3, cfg.hop, 8)
+    feeds = {
+        i: np.concatenate([np.asarray(o.out_a)[i] for o in outs[4:]], axis=0)
+        for i in range(3)
+    }
+    targets = np.concatenate([np.asarray(o.out_a_t) for o in outs[4:]], axis=0)
+    t_press = predict_pressure(jnp.asarray(targets), jnp.asarray(rir_a))
+
+    def metrics(i):
+        p_aa = predict_pressure(jnp.asarray(feeds[i]), jnp.asarray(rir_a))
+        p_ab = predict_pressure(jnp.asarray(feeds[i]), jnp.asarray(rir_b))
+        c = float(acoustic_contrast_db(p_aa, p_ab))
+        nm = float(np.sum((np.asarray(p_aa) - np.asarray(t_press)) ** 2)
+                   / np.sum(np.asarray(t_press) ** 2))
+        return c, nm
+
+    c_bacc, nm_bacc = metrics(0)
+    c_pm, nm_pm = metrics(2)
+    assert np.isfinite([c_bacc, c_pm]).all()
+    assert c_bacc > c_pm, f"BACC contrast {c_bacc:.1f} <= PM {c_pm:.1f}"
+    assert nm_pm < nm_bacc, f"PM fidelity {nm_pm:.3f} >= BACC {nm_bacc:.3f}"
