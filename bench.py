@@ -76,7 +76,10 @@ def measure(device: str) -> int:
     state = init_state(cfg, key=jax.random.key(0))
 
     rng = np.random.default_rng(0)
-    num_hops = 16 if device == "cpu" else 32
+    # 128 hops per dispatch measures sustained streaming throughput (the
+    # tunnel costs ~9 ms per dispatch regardless of stream length; the
+    # baseline's 2.2 s/hop is likewise a steady-state number).
+    num_hops = 16 if device == "cpu" else 128
     sig_a = jnp.asarray(rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32)
     sig_b = jnp.asarray(rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32)
 
