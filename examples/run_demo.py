@@ -29,6 +29,12 @@ def main() -> int:
     parser.add_argument("--perceptual", action="store_true")
     parser.add_argument("--x64", action="store_true", help="float64 parity mode")
     parser.add_argument("--fd", action="store_true", help="frequency-domain engine")
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="production stack: subspace GEVD + Pallas kernels + matmul-DFT "
+        "(float32, TPU)",
+    )
     parser.add_argument("--wav-a", help="program A wav file (default: noise)")
     parser.add_argument("--wav-b", help="program B wav file (default: noise)")
     args = parser.parse_args()
@@ -76,6 +82,18 @@ def main() -> int:
         key=jax.random.key(0),
         dtype="float64" if args.x64 else "float32",
     )
+    if args.fast:
+        from apvast_tpu.config import GevdSolver
+
+        common.update(
+            gevd_solver=GevdSolver.SUBSPACE,
+            subspace_oversample=6,
+            subspace_iters=2,
+            use_pallas_statistics=True,
+            use_pallas_output=True,
+            use_pallas_conv=True,
+            use_matmul_dft=True,
+        )
     if args.fd:
         from apvast_tpu import ApVastFD
 
