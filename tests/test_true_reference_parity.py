@@ -137,3 +137,75 @@ def test_parity_vs_actual_reference(num_eigenvectors):
             worst = max(worst, float(rel))
     # BASELINE.json parity bar is 1e-4; float64 achieves far better.
     assert worst <= 1e-7, f"max relative error vs reference: {worst:.3e}"
+
+
+@pytest.mark.slow
+def test_parity_vs_actual_reference_full_scale():
+    """Full-scale parity: the bundled rirs.mat scene at the reference's
+    own fixture hyperparameters (make_python_test.m:6-15 — block=1600,
+    J=100 so JL=800, V=50, statistics buffer 1000), reference module run
+    live for 3 hops. This is the scale the BASELINE.json contract
+    (<= 1e-4 vs Python/apvast.py:153-165) is stated at."""
+    from apvast_tpu.utils.rir import load_reference_rirs
+
+    mod = _load_reference_module()
+    rir_a, rir_b = load_reference_rirs()
+
+    block, j, delay, n_stat, v = 1600, 100, 20, 1000, 50
+    ref = mod.apvast(
+        block,
+        rir_a,
+        rir_b,
+        j,
+        delay,
+        7,  # reference_index_A
+        7,  # reference_index_B
+        v,
+        1.0,  # mu
+        n_stat,
+        sampling_rate=48000,
+        perceptual=False,
+    )
+
+    cfg = ApVastConfig.for_rirs(
+        rir_a,
+        rir_b,
+        block_size=block,
+        filter_length=j,
+        modeling_delay=delay,
+        reference_index_a=7,
+        reference_index_b=7,
+        num_eigenvectors=v,
+        mu=1.0,
+        statistics_buffer_length=n_stat,
+        sampling_rate=48000,
+        perceptual=False,
+        dtype="float64",
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = _state_from_reference(cfg, ref)
+    hop_fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+
+    rng = np.random.default_rng(99)
+    worst = 0.0
+    for _ in range(3):
+        hop_a = rng.standard_normal(cfg.hop)
+        hop_b = rng.standard_normal(cfg.hop)
+        want_a, want_b, want_at, want_bt = ref.process_input_buffers(hop_a, hop_b)
+        state, out = hop_fn(state, jnp.asarray(hop_a), jnp.asarray(hop_b))
+        tile = lambda t: jnp.broadcast_to(t, (v, *t.shape))
+        for got, want in [
+            (out.out_a, want_a),
+            (out.out_b, want_b),
+            (tile(out.out_a_t), want_at),
+            (tile(out.out_b_t), want_bt),
+        ]:
+            got = np.asarray(got)
+            want = np.stack(want)
+            scale = np.maximum(np.abs(want).max(), 1e-12)
+            rel = np.abs(got - want).max() / scale
+            worst = max(worst, float(rel))
+    # The reference contract scale: <= 1e-4 required; float64 + an
+    # eigensolver that differs from LAPACK Schur only in roundoff should
+    # land far below it even with V = 50 near-degenerate eigenpairs.
+    assert worst <= 1e-4, f"max relative error vs reference: {worst:.3e}"
