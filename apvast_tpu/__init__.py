@@ -27,6 +27,7 @@ diagonalization is a Cholesky-whitened symmetric eigendecomposition.
 
 from apvast_tpu.config import (
     ApVastConfig,
+    PerceptualFrontend,
     RegularizationVariant,
     TargetFilterVariant,
     ToeplitzVariant,
@@ -54,6 +55,7 @@ __all__ = [
     "ApVastPlan",
     "ApVastState",
     "HopOutputs",
+    "PerceptualFrontend",
     "RegularizationVariant",
     "TargetFilterVariant",
     "ToeplitzVariant",

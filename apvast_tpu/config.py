@@ -119,6 +119,32 @@ class ThresholdMethod(enum.Enum):
     NONE = "none"
 
 
+class PerceptualFrontend(enum.Enum):
+    """Which perceptual front-end parameterization weights the spectra.
+
+    MATLAB_MODEL: the in-repo van de Par model exactly as
+    Matlab/ControlMethods/perceptualModel.m builds it — 1-ERB-spaced
+    gammatone channels (count = floor(ERB(Fs/2)) + 1), selectable
+    threshold-of-hearing curve, absolute dB-SPL calibration via
+    ``pressure_scale_db_spl``.
+
+    LIBDETECTABILITY: the parameterization of the external package the
+    Python reference wires in (Python/apvast.py:4,77-83):
+    ``perceptual_taps`` (default 32) *fixed* gammatone channels spread
+    uniformly on the ERB scale, the Terhardt/Painter-2000 closed-form
+    threshold, and ``relax_threshold=True`` semantics — the absolute
+    dbspl/spl mapping is ignored (the reference's own comment) and the
+    model is referenced to the threshold-curve minimum instead. The
+    package itself is unavailable offline (survey §6), so this variant is
+    reconstructed from the van de Par (2005) equations + the package's
+    documented constructor surface; see
+    perceptual/tables.build_libdetectability_tables.
+    """
+
+    MATLAB_MODEL = "matlab_model"
+    LIBDETECTABILITY = "libdetectability"
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -169,6 +195,11 @@ class ApVastConfig:
     weighting_norm: WeightingNorm = WeightingNorm.UNIT_ONESIDED
     target_filter: TargetFilterVariant = TargetFilterVariant.SHARED_A
     threshold_method: ThresholdMethod = ThresholdMethod.ISO226_2003
+    # Perceptual front-end parameterization (see PerceptualFrontend); the
+    # taps count only applies to the LIBDETECTABILITY variant
+    # (Python/apvast.py:79 passes taps=32).
+    perceptual_frontend: PerceptualFrontend = PerceptualFrontend.MATLAB_MODEL
+    perceptual_taps: int = 32
     # GEVD solver selection (see GevdSolver).
     gevd_solver: GevdSolver = GevdSolver.EIGH
     # SUBSPACE solver: extra subspace columns beyond num_eigenvectors, and

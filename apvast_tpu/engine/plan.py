@@ -20,9 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from apvast_tpu.config import ApVastConfig, TargetFilterVariant
+from apvast_tpu.config import ApVastConfig, PerceptualFrontend, TargetFilterVariant
 from apvast_tpu.ops.wola import sine_window
-from apvast_tpu.perceptual.tables import build_perceptual_tables
+from apvast_tpu.perceptual.tables import (
+    build_libdetectability_tables,
+    build_perceptual_tables,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -138,12 +141,19 @@ def build_plan(
 
     cfmr_sq = cs = ca = leff = spectrum_scale = None
     if config.perceptual:
-        tables = build_perceptual_tables(
-            config.block_size,
-            float(config.sampling_rate),
-            config.pressure_scale_db_spl,
-            config.threshold_method,
-        )
+        if config.perceptual_frontend is PerceptualFrontend.LIBDETECTABILITY:
+            tables = build_libdetectability_tables(
+                config.block_size,
+                float(config.sampling_rate),
+                config.perceptual_taps,
+            )
+        else:
+            tables = build_perceptual_tables(
+                config.block_size,
+                float(config.sampling_rate),
+                config.pressure_scale_db_spl,
+                config.threshold_method,
+            )
         cfmr_sq = jnp.asarray(tables.cfmr_sq, dtype=dtype)
         cs = jnp.asarray(tables.cs, dtype=dtype)
         ca = jnp.asarray(tables.ca, dtype=dtype)

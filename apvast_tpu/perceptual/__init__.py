@@ -4,7 +4,12 @@ Setup-time table construction lives in ``tables`` (NumPy, float64, runs
 once per config); the per-frame gain evaluation lives in ``model`` (pure
 JAX, jit/vmap-safe — no data-dependent control flow)."""
 
-from apvast_tpu.perceptual.tables import PerceptualTables, build_perceptual_tables
+from apvast_tpu.perceptual.tables import (
+    PerceptualTables,
+    build_libdetectability_tables,
+    build_perceptual_tables,
+    fixed_taps_gammatone_bank,
+)
 from apvast_tpu.perceptual.model import (
     detectability,
     perceptual_gain,
@@ -13,7 +18,9 @@ from apvast_tpu.perceptual.model import (
 
 __all__ = [
     "PerceptualTables",
+    "build_libdetectability_tables",
     "build_perceptual_tables",
+    "fixed_taps_gammatone_bank",
     "detectability",
     "perceptual_gain",
     "squared_weighting",

@@ -129,14 +129,37 @@ class PerceptualTables:
     spectrum_scale: float
 
 
+def fixed_taps_gammatone_bank(
+    taps: int, sampling_rate: float, frequency: np.ndarray
+) -> np.ndarray:
+    """4th-order gammatone magnitude responses with a FIXED channel count:
+    ``taps`` center frequencies spread uniformly on the ERB-number scale
+    over (0, Fs/2), each 1 ERB wide — the ``libdetectability``
+    parameterization (Python/apvast.py:79 passes taps=32) as opposed to
+    the MATLAB model's 1-ERB spacing with a rate-dependent channel count
+    (gammatoneFilterResponse.m:32-52). Shape (bins, taps)."""
+    order = 4
+    top = _erb_scale(np.array([sampling_rate / 2.0]))[0]
+    points = (np.arange(taps) + 0.5) * (top / taps)
+    centers = _erb_to_hz(points)
+    bandwidths = 24.7 + centers / 9.265
+    double_fact = float(np.prod(np.arange(2 * order - 3, 0, -2)))
+    k = 2.0 ** (order - 1) * math.factorial(order - 1) / (math.pi * double_fact)
+    f = np.asarray(frequency, dtype=np.float64)[:, None]
+    detune = (f - centers[None, :]) / (k * bandwidths[None, :])
+    return (1.0 + detune**2) ** (-order / 2.0)
+
+
 def build_perceptual_tables(
     block_size: int,
     sampling_rate: float,
     pressure_scale_db_spl: float,
     threshold_method: ThresholdMethod = ThresholdMethod.ISO226_2003,
+    bank: np.ndarray | None = None,
 ) -> PerceptualTables:
     """Build and calibrate the model for one (block, Fs, SPL-scale) triple
-    (perceptualModel.m:30-116)."""
+    (perceptualModel.m:30-116). ``bank`` overrides the gammatone bank
+    (default: the MATLAB model's 1-ERB-spaced bank)."""
     if block_size % 2 != 0:
         raise ValueError("block_size must be even")
     fullscale_pa = 10.0 ** (pressure_scale_db_spl / 20.0) * _REFERENCE_PRESSURE_PA
@@ -147,7 +170,8 @@ def build_perceptual_tables(
     with np.errstate(divide="ignore"):
         outer_middle_ear = 1.0 / toh_digital
 
-    bank = gammatone_magnitude_bank(0.0, sampling_rate / 2.0, frequency)
+    if bank is None:
+        bank = gammatone_magnitude_bank(0.0, sampling_rate / 2.0, frequency)
     cfmr = outer_middle_ear[:, None] * bank
     leff = min(block_size / sampling_rate / 0.3, 1.0)
 
@@ -194,4 +218,51 @@ def build_perceptual_tables(
         ca=float(ca),
         leff=float(leff),
         spectrum_scale=math.sqrt(2.0) / block_size,
+    )
+
+
+def build_libdetectability_tables(
+    block_size: int,
+    sampling_rate: float,
+    taps: int = 32,
+) -> PerceptualTables:
+    """Calibrated tables with the ``libdetectability`` parameterization
+    that the Python reference wires in (Python/apvast.py:4,77-83):
+
+    * ``taps`` FIXED gammatone channels uniform on the ERB scale (the
+      package's constructor takes a channel count, not a spacing),
+    * the Terhardt/Painter-2000 closed-form threshold of hearing (the
+      package has no ISO table), and
+    * ``relax_threshold=True`` semantics: the reference's own comments
+      state dbspl/spl are ignored under it, i.e. no absolute digital <->
+      SPL mapping exists. The model is therefore referenced to the
+      threshold-curve minimum: digital amplitude 1 sits at the
+      most-sensitive frequency's threshold, which makes the outer-middle-
+      ear response a pure normalized threshold *shape* while keeping both
+      van de Par calibration conditions (70 dB masker / 52 dB probe at
+      masked threshold; threshold-level tone in quiet at D = 1)
+      meaningful — they only involve levels *relative to* threshold.
+
+    The package itself is unavailable offline (survey §6), so exact
+    numerical equality with it is unverifiable here; this reconstruction
+    pins the documented constructor surface + the paper's equations and
+    is validated against an independent NumPy oracle in
+    tests/test_perceptual_frontend.py.
+    """
+    frequency = np.arange(block_size // 2 + 1) * (sampling_rate / block_size)
+    toh_db = threshold_of_hearing_db(frequency, ThresholdMethod.PAINTER_2000)
+    # Reference level = the minimum of the threshold curve over the
+    # represented band (DC diverges in the Terhardt form; exclude it).
+    thr_min_db = float(np.min(toh_db[1:]))
+    bank = fixed_taps_gammatone_bank(taps, sampling_rate, frequency)
+    # With pressure_scale = thr_min, the absolute-SPL construction
+    # degenerates to the relative-threshold one: toh_digital becomes
+    # 10**((toh - thr_min)/20) and the calibration tones 10**((52|70 -
+    # thr_min)/20) — no 20 uPa reference survives.
+    return build_perceptual_tables(
+        block_size,
+        sampling_rate,
+        pressure_scale_db_spl=thr_min_db,
+        threshold_method=ThresholdMethod.PAINTER_2000,
+        bank=bank,
     )
