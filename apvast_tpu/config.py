@@ -215,6 +215,15 @@ class ApVastConfig:
     # (one blocked matmul-only triangular inversion per hop; see
     # ops/trisolve.py).
     subspace_whiten: str = "invert"
+    # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
+    # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
+    # Pallas cyclic-Jacobi kernel, float32 production — the custom call
+    # is latency-bound at k ~ 56 and dominates the solver otherwise).
+    small_eigh: str = "lapack"
+    # Jacobi sweeps per hop; the warm-started Rayleigh-Ritz matrix is
+    # near-diagonal in steady state, so a low count converges (cold
+    # start needs ~8-10 at k = 56 — covered by the stream warmup).
+    jacobi_sweeps: int = 4
     # Use the fused Pallas framing+covariance kernel for the statistics
     # (float32 only; frames never materialized, cross-correlation vector
     # via FFT). Falls back to interpret mode off-TPU.

@@ -329,6 +329,9 @@ def process_hop(
             state.gevd_q,
             config.subspace_orth,
             config.subspace_whiten,
+            config.small_eigh,
+            config.jacobi_sweeps,
+            interpret=(jax.default_backend() == "cpu"),
         )  # (2, jl, v), (2, v), (2, jl, k)
     else:
         u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)

@@ -74,6 +74,80 @@ def _cholqr2(q: jax.Array) -> jax.Array:
     return q
 
 
+def _topk_project(
+    A: jax.Array,
+    B: jax.Array,
+    reg: float | jax.Array,
+    iters: int,
+    q_init: jax.Array,
+    orth: str,
+    whiten: str,
+):
+    """Subspace-iteration front half of :func:`jdiag_topk`: whitening
+    setup, the iteration itself, and the small Rayleigh-Ritz projection.
+    Returns ``(small, q, wmat)`` where ``wmat`` is the whitening matrix
+    needed by the back-transform (``L^{-1}`` for the 'invert' path, the
+    Cholesky factor for 'solve')."""
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    chol = jnp.linalg.cholesky(B + reg * eye)
+
+    if whiten == "invert":
+        # Matmul-only path: invert L once by blocked recursion
+        # (ops/trisolve.py), then every whitened-operator application and
+        # the back-transform are MXU matmuls — no latency-bound
+        # full-matrix substitutions on the hot path.
+        from apvast_tpu.ops.trisolve import triangular_inverse
+
+        li = triangular_inverse(chol)
+
+        def apply_white(x):
+            return li @ (A @ (li.T @ x))
+
+        wmat = li
+    else:
+        # The whitened operator C = L^{-1} A L^{-T} applied IMPLICITLY:
+        # triangular solves against the k-column subspace only.
+        def apply_white(x):
+            y = solve_triangular(chol.T, x, lower=False)  # L^{-T} x
+            y = A @ y
+            return solve_triangular(chol, y, lower=True)
+
+        wmat = chol
+
+    orthonormalize = _cholqr2 if orth == "cholqr2" else (
+        lambda q: jnp.linalg.qr(q)[0]
+    )
+
+    def body(q, _):
+        return orthonormalize(apply_white(q)), None
+
+    q, _ = jax.lax.scan(body, q_init, None, length=iters)
+    small = q.T @ apply_white(q)
+    return 0.5 * (small + small.T), q, wmat
+
+
+def _topk_extract(small_d, small_v, q, wmat, num_vectors, q_init, whiten):
+    """Ritz extraction + back-transform back half of :func:`jdiag_topk`.
+    ``small_d``/``small_v`` are the ASCENDING eigendecomposition of the
+    projected matrix."""
+    d = small_d[::-1][:num_vectors]
+    ritz = (q @ small_v)[:, ::-1]
+    if whiten == "invert":
+        u = wmat.T @ ritz[:, :num_vectors]
+    else:
+        u = solve_triangular(wmat.T, ritz[:, :num_vectors], lower=False)
+    # Transient non-finites (degenerate warmup statistics in float32) must
+    # neither poison the warm-start carry nor reach the synthesized
+    # filters: fall back to the incoming subspace, and zero bad
+    # eigenvectors (=> silent output for that hop, matching the FD
+    # engine's guard).
+    ritz = jnp.where(jnp.isfinite(ritz), ritz, q_init)
+    u = jnp.where(jnp.isfinite(u), u, 0)
+    d = jnp.where(jnp.isfinite(d), d, 0)
+    return u, d, ritz
+
+
 def jdiag_topk(
     A: jax.Array,
     B: jax.Array,
@@ -105,63 +179,44 @@ def jdiag_topk(
         (u, d, q): top-k generalized eigenvectors (n, k) and eigenvalues
         (k,), both descending, plus the orthonormal subspace to carry.
     """
-    n = A.shape[-1]
-    eye = jnp.eye(n, dtype=A.dtype)
-    chol = jnp.linalg.cholesky(B + reg * eye)
+    small, q, wmat = _topk_project(A, B, reg, iters, q_init, orth, whiten)
+    d, v = jnp.linalg.eigh(small)  # ascending
+    return _topk_extract(d, v, q, wmat, num_vectors, q_init, whiten)
 
-    if whiten == "invert":
-        # Matmul-only path: invert L once by blocked recursion
-        # (ops/trisolve.py), then every whitened-operator application and
-        # the back-transform are MXU matmuls — no latency-bound
-        # full-matrix substitutions on the hot path.
-        from apvast_tpu.ops.trisolve import triangular_inverse
 
-        li = triangular_inverse(chol)
+def jdiag_topk_batched(
+    A: jax.Array,
+    B: jax.Array,
+    reg: float | jax.Array,
+    num_vectors: int,
+    iters: int,
+    q_init: jax.Array,
+    orth: str = "qr",
+    whiten: str = "solve",
+    small_eigh: str = "lapack",
+    jacobi_sweeps: int = 4,
+    interpret: bool = False,
+):
+    """Batched :func:`jdiag_topk` over a leading pencil axis.
 
-        def apply_white(x):
-            return li @ (A @ (li.T @ x))
+    ``small_eigh`` selects the Rayleigh-Ritz eigensolver: "lapack" is
+    XLA's eigh custom call (exact-parity path); "jacobi" runs the whole
+    batch of small projections through ONE fused Pallas cyclic-Jacobi
+    kernel (ops/pallas/jacobi_eigh) — the eigh custom call is
+    latency-bound at this size and dominates the production solver.
+    """
+    small, q, wmat = jax.vmap(
+        _topk_project, in_axes=(0, 0, None, None, 0, None, None)
+    )(A, B, reg, iters, q_init, orth, whiten)
+    if small_eigh == "jacobi":
+        from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh
 
-        def back_transform(x):
-            return li.T @ x
-
+        d, v = jacobi_eigh(small, sweeps=jacobi_sweeps, interpret=interpret)
     else:
-        # The whitened operator C = L^{-1} A L^{-T} applied IMPLICITLY:
-        # triangular solves against the k-column subspace only.
-        def apply_white(x):
-            y = solve_triangular(chol.T, x, lower=False)  # L^{-T} x
-            y = A @ y
-            return solve_triangular(chol, y, lower=True)
-
-        def back_transform(x):
-            return solve_triangular(chol.T, x, lower=False)
-
-    orthonormalize = _cholqr2 if orth == "cholqr2" else (
-        lambda q: jnp.linalg.qr(q)[0]
-    )
-
-    def body(q, _):
-        return orthonormalize(apply_white(q)), None
-
-    q, _ = jax.lax.scan(body, q_init, None, length=iters)
-    small = q.T @ apply_white(q)
-    d, v = jnp.linalg.eigh(0.5 * (small + small.T))  # ascending
-    d = d[::-1][:num_vectors]
-    ritz = (q @ v)[:, ::-1]
-    u = back_transform(ritz[:, :num_vectors])
-    # Transient non-finites (degenerate warmup statistics in float32) must
-    # neither poison the warm-start carry nor reach the synthesized
-    # filters: fall back to the incoming subspace, and zero bad
-    # eigenvectors (=> silent output for that hop, matching the FD
-    # engine's guard).
-    ritz = jnp.where(jnp.isfinite(ritz), ritz, q_init)
-    u = jnp.where(jnp.isfinite(u), u, 0)
-    d = jnp.where(jnp.isfinite(d), d, 0)
-    return u, d, ritz
-
-
-jdiag_topk_batched = jax.vmap(
-    jdiag_topk, in_axes=(0, 0, None, None, None, 0, None, None)
-)
+        d, v = jnp.linalg.eigh(small)  # ascending
+    return jax.vmap(
+        _topk_extract, in_axes=(0, 0, 0, 0, None, 0, None)
+    )(d, v, q, wmat, num_vectors, q_init, whiten)
 
 
 def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):

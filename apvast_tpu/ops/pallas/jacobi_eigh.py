@@ -1,0 +1,209 @@
+"""Batched small symmetric eigensolver as ONE Pallas kernel (cyclic Jacobi).
+
+XLA's TPU ``eigh`` (QDWH divide-and-conquer) is built for large matrices:
+on the engine's small Rayleigh-Ritz projections (k = V + oversample, ~56)
+it costs hundreds of microseconds of almost pure dispatch latency — the
+single most expensive op left in the production hop after the covariance
+kernel. This kernel runs the entire eigendecomposition inside one Mosaic
+program: a parallel-ordered cyclic Jacobi where every round applies
+n/2 disjoint Givens rotations as ONE dense rotation-matrix product on the
+MXU, with the classic round-robin tournament permutation folded into the
+rotation matrix (so pairs are always adjacent slots and the schedule is a
+compile-time constant).
+
+Round structure (n slots, pairs (2i, 2i+1)):
+  1. extract app, aqq, apq for all pairs with masked reductions + a
+     constant shift-matrix matvec,
+  2. vectorized stable rotation angles
+     t = 2 apq sign(aqq-app) / (|aqq-app| + sqrt((aqq-app)^2 + 4 apq^2)),
+  3. build M = R * Pi elementwise from iota masks and the schedule vector,
+  4. A <- M^T A M, V <- V M (three n x n MXU matmuls).
+
+After (n-1) rounds every index pair has been rotated exactly once (the
+tournament property, verified in tests) and the slot arrangement returns
+to the identity, so ``sweeps`` repetitions of the same unrolled body are
+full Jacobi sweeps. Convergence is quadratic; cold-start float32 needs
+~8 sweeps at n = 64, while the engine's warm-started Rayleigh-Ritz
+matrices are near-diagonal and settle in 2-4.
+
+Replaces the LAPACK-path eigh in ops/jdiag.jdiag_topk (ref jdiag:
+Python/apvast.py:20-36 — the reference's Schur-of-symmetric at full JL;
+here only the small projected problem is ever decomposed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def tournament_schedule(n: int) -> np.ndarray:
+    """src[slot] = slot whose occupant rotates into ``slot`` each round.
+
+    Slots are paired (2i, 2i+1). One occupant (slot 0) stays fixed; the
+    rest walk a ring: top row left-to-right, bottom row right-to-left.
+    Iterating pairs under this rotation meets every index pair exactly
+    once in n-1 rounds and returns to the identity arrangement (period
+    n-1) — asserted here at table-build time.
+    """
+    if n % 2:
+        raise ValueError("n must be even")
+    m = n // 2
+    ring = [2 * i for i in range(1, m)] + [
+        2 * i + 1 for i in range(m - 1, -1, -1)
+    ]
+    src = np.arange(n)
+    for p in range(len(ring)):
+        src[ring[(p + 1) % len(ring)]] = ring[p]
+    # Verify the covering + periodicity contract.
+    occ = np.arange(n)
+    pairs = set()
+    for _ in range(n - 1):
+        pairs.update(
+            (min(occ[2 * i], occ[2 * i + 1]), max(occ[2 * i], occ[2 * i + 1]))
+            for i in range(m)
+        )
+        occ = occ[src]
+    assert len(pairs) == n * (n - 1) // 2 and np.array_equal(
+        occ, np.arange(n)
+    ), "tournament schedule lost the covering property"
+    return src
+
+
+def _kernel(a_ref, src_ref, w_ref, v_ref, *, bz, n, sweeps):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye_m = (rows == cols).astype(jnp.float32)
+    upper_pair = jnp.logical_and(cols == rows + 1, rows % 2 == 0).astype(
+        jnp.float32
+    )
+    shift = (cols == rows + 1).astype(jnp.float32)  # Sh @ x == x shifted up
+    even_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1) % 2 == 0
+    ).astype(jnp.float32)
+
+    srcb = jnp.broadcast_to(src_ref[...], (n, n))  # src(c) per column
+    perm_d = (srcb == rows).astype(jnp.float32)
+    perm_u = jnp.logical_and(srcb == rows + 1, rows % 2 == 0).astype(
+        jnp.float32
+    )
+    perm_l = jnp.logical_and(srcb == rows - 1, rows % 2 == 1).astype(
+        jnp.float32
+    )
+
+    hi = jax.lax.Precision.HIGHEST
+    bdot = lambda x, y: jax.lax.dot_general(  # noqa: E731
+        x, y, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+    bdot_t = lambda x, y: jax.lax.dot_general(  # noqa: E731 x^T y batched
+        x, y, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+
+    def round_body(a, v):
+        # All pair quantities batched over the pencil axis: (bz, n, 1).
+        diag = jnp.sum(a * eye_m, axis=2, keepdims=True)
+        apq = jnp.sum(a * upper_pair, axis=2, keepdims=True)
+        aqq = bdot(jnp.broadcast_to(shift, (bz, n, n)), diag)
+        theta = aqq - diag
+        sg = jnp.where(theta >= 0, 1.0, -1.0)
+        # Guard must stay in the NORMAL float32 range: a subnormal (e.g.
+        # 1e-38) is flushed to zero on some backends, making t = 0/0 NaN
+        # once the matrix is nearly diagonal.
+        denom = jnp.abs(theta) + jnp.sqrt(
+            theta * theta + 4.0 * apq * apq
+        ) + 1e-30
+        t = 2.0 * apq * sg / denom
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = t * c
+        s_e = s * even_col
+        c_e = c * even_col
+        # Interleave pair values onto both slots: x2 = x_e + Sh^T x_e.
+        shb = jnp.broadcast_to(shift, (bz, n, n))
+        s2 = s_e + bdot_t(shb, s_e)
+        c2 = c_e + bdot_t(shb, c_e)
+        m_mat = perm_d * c2 + perm_u * s2 - perm_l * s2  # (bz, n, n)
+        am = bdot(a, m_mat)
+        a_new = bdot_t(m_mat, am)
+        v_new = bdot(v, m_mat)
+        return a_new, v_new
+
+    def sweep(_, carry):
+        a, v = carry
+        for _r in range(n - 1):
+            a, v = round_body(a, v)
+        return a, v
+
+    v0 = jnp.broadcast_to(eye_m, (bz, n, n))
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a_ref[...], v0))
+    w_ref[0] = jnp.sum(a * eye_m, axis=2)
+    v_ref[...] = v
+
+
+def jacobi_eigh(
+    a: jax.Array, sweeps: int = 8, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of a batch of small symmetric float32 matrices.
+
+    Drop-in for ``jnp.linalg.eigh`` on (..., n, n) symmetric inputs with
+    small n: returns ``(w, v)`` with eigenvalues ascending and
+    eigenvectors in columns. One fused kernel per batch element instead
+    of QDWH's long dependent custom-call chain.
+    """
+    batch_shape = a.shape[:-2]
+    n = a.shape[-1]
+    a2 = a.reshape((-1,) + a.shape[-2:]).astype(jnp.float32)
+    bz = a2.shape[0]
+    npad = max(8, -(-n // 8) * 8)
+    if npad % 2:
+        npad += 1
+    if npad != n:
+        a2 = jnp.pad(a2, ((0, 0), (0, npad - n), (0, npad - n)))
+    src = jnp.asarray(tournament_schedule(npad), jnp.int32).reshape(1, npad)
+
+    kernel = functools.partial(_kernel, bz=bz, n=npad, sweeps=sweeps)
+    w, v = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, bz, npad), jnp.float32),
+            jax.ShapeDtypeStruct((bz, npad, npad), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=bz * sweeps * (npad - 1) * 6 * npad**3,
+            bytes_accessed=bz * npad * npad * 8,
+            transcendentals=bz * sweeps * (npad - 1) * 2 * npad,
+        ),
+    )(a2, src)
+    w = w[0]
+
+    if npad != n:
+        # Pad slots are decoupled (zero off-diagonals preserved by every
+        # rotation) and carry exact-zero eigenvalues; key them to +inf so
+        # the ascending sort keeps only real-slot eigenpairs up front.
+        real = jnp.zeros((npad,), bool).at[:n].set(True)
+        keyed = jnp.where(real[None, :], w, jnp.inf)
+        order = jnp.argsort(keyed, axis=-1)[:, :n]
+    else:
+        order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)[:, :n]
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)[:, :n, :n]
+    return (
+        w.reshape(batch_shape + (n,)),
+        v.reshape(batch_shape + (n, n)),
+    )

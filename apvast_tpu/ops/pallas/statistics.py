@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     buf_ref, d_ref, out_ref, out_r_ref, windows, *, num_srcs, frame_length,
-    num_frames,
+    num_frames, sym_blocks,
 ):
     s, j, k = num_srcs, frame_length, num_frames
     m = pl.program_id(1)
@@ -46,12 +46,39 @@ def _kernel(
             start = j - 1 - i
             windows[sv * j + i, :] = buf_ref[0, 0, sv, start : start + k]
 
-    tile = jax.lax.dot_general(
-        windows[:],
-        windows[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    sj = s * j
+    if sym_blocks > 1 and sj % sym_blocks == 0:
+        # R is symmetric: contract only the block-lower-triangular tile
+        # pairs (sym_blocks row blocks -> (nb+1)/(2nb) of the full-GEMM
+        # FLOPs; the caller mirrors the strict upper triangle afterwards).
+        # Same products in the same accumulation order as the full dot,
+        # so the kept triangle is numerically identical.
+        bs = sj // sym_blocks
+        rows = []
+        for bi in range(sym_blocks):
+            wi = windows[bi * bs : (bi + 1) * bs, :]
+            row = [
+                jax.lax.dot_general(
+                    wi,
+                    windows[bj * bs : (bj + 1) * bs, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for bj in range(bi + 1)
+            ]
+            if bi + 1 < sym_blocks:
+                row.append(
+                    jnp.zeros((bs, (sym_blocks - bi - 1) * bs), jnp.float32)
+                )
+            rows.append(jnp.concatenate(row, axis=1))
+        tile = jnp.concatenate(rows, axis=0)
+    else:
+        tile = jax.lax.dot_general(
+            windows[:],
+            windows[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     # Cross-correlation against both zones' aligned targets (the engine
     # consumes path 0 with zone A's and path 3 with zone B's column).
     r_tile = jax.lax.dot_general(
@@ -77,6 +104,7 @@ def covariance_pallas(
     targets: jax.Array,
     frame_length: int,
     interpret: bool = False,
+    sym_blocks: int = 4,
 ):
     """R[p] = sum_m Y_pm Y_pm^T and r[p, :, z] = sum_m Y_pm d_zm.
 
@@ -86,6 +114,11 @@ def covariance_pallas(
         targets: (2, mics, k) float32 aligned weighted-target windows
             (k = n - frame_length + 1).
         frame_length: J.
+        sym_blocks: row-block count for the symmetric (block-triangular)
+            contraction — only the lower tile pairs are multiplied and the
+            strict upper triangle is mirrored afterwards, saving up to
+            half the MXU work with bit-identical results. 1 disables
+            (also auto-disabled when srcs*J is not divisible).
 
     Returns:
         (r_mats, r_cross): (paths, srcs*J, srcs*J) covariance matrices in
@@ -97,6 +130,7 @@ def covariance_pallas(
     j = frame_length
     k = n - j + 1
     grid = (p, m)
+    mirrored = sym_blocks > 1 and (s * j) % sym_blocks == 0
 
     buf_spec = pl.BlockSpec(
         (1, 1, s, n),
@@ -118,9 +152,10 @@ def covariance_pallas(
         (1, s * j, 2), lambda pi, mi: (pi, 0, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _kernel, num_srcs=s, frame_length=j, num_frames=k
+        _kernel, num_srcs=s, frame_length=j, num_frames=k,
+        sym_blocks=sym_blocks,
     )
-    return pl.pallas_call(
+    r_mats, r_cross = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[buf_spec, d_spec],
@@ -137,3 +172,7 @@ def covariance_pallas(
             transcendentals=0,
         ),
     )(buffers, d_by_mic)
+    if mirrored:
+        low = jnp.tril(r_mats)
+        r_mats = low + jnp.triu(low.transpose(0, 2, 1), 1)
+    return r_mats, r_cross

@@ -1,0 +1,137 @@
+"""Pallas cyclic-Jacobi small eigensolver: schedule contract, accuracy
+vs LAPACK on random/clustered/padded spectra, and solver/engine
+equivalence with the exact Rayleigh-Ritz path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apvast_tpu.config import ApVastConfig, GevdSolver
+from apvast_tpu.ops.jdiag import jdiag_topk, jdiag_topk_batched
+from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh, tournament_schedule
+
+
+def _sym(rng, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    return (x + np.swapaxes(x, -1, -2)) / 2
+
+
+def test_tournament_schedule_covers_all_pairs():
+    for n in (8, 16, 56, 64):
+        src = tournament_schedule(n)  # asserts covering + period inside
+        assert sorted(src) == list(range(n))  # a permutation
+
+
+def test_jacobi_matches_lapack_random(rng):
+    for n in (8, 24, 56):
+        a = _sym(rng, (3, n, n))
+        w, v = jacobi_eigh(jnp.asarray(a), sweeps=10, interpret=True)
+        w_ref, _ = np.linalg.eigh(a.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(w), w_ref, atol=2e-4)
+        # Eigenpair residual + orthonormality (float32 level).
+        res = a.astype(np.float64) @ np.asarray(v, np.float64) - np.asarray(
+            w, np.float64
+        )[:, None, :] * np.asarray(v, np.float64)
+        assert np.max(np.abs(res)) < 5e-4
+        gram = np.swapaxes(np.asarray(v, np.float64), 1, 2) @ np.asarray(
+            v, np.float64
+        )
+        assert np.max(np.abs(gram - np.eye(n))) < 1e-4
+
+
+def test_jacobi_clustered_spectrum(rng):
+    """Near-degenerate eigenvalues: values still converge (vectors may
+    rotate inside the cluster — only the eigenvalues and the residual
+    are contracts)."""
+    n = 40
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.concatenate(
+        [np.full(8, 5.0), np.full(8, 5.0 + 1e-4), rng.uniform(-1, 1, n - 16)]
+    )
+    a = ((q * lam) @ q.T).astype(np.float32)
+    a = (a + a.T) / 2
+    w, v = jacobi_eigh(jnp.asarray(a)[None], sweeps=12, interpret=True)
+    w_ref = np.linalg.eigh(a.astype(np.float64))[0]
+    np.testing.assert_allclose(np.asarray(w[0]), w_ref, atol=5e-4)
+    res = a.astype(np.float64) @ np.asarray(v[0], np.float64) - np.asarray(
+        w[0], np.float64
+    ) * np.asarray(v[0], np.float64)
+    assert np.max(np.abs(res)) < 2e-3
+
+
+def test_jacobi_padded_sizes(rng):
+    """Non-multiple-of-8 n exercises the decoupled-pad-slot path."""
+    for n in (6, 30, 53 + 1):  # 54 -> pad 56; 30 -> pad 32; 6 -> pad 8
+        a = _sym(rng, (2, n, n))
+        w, v = jacobi_eigh(jnp.asarray(a), sweeps=10, interpret=True)
+        w_ref, _ = np.linalg.eigh(a.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(w), w_ref, atol=2e-4)
+        assert w.shape == (2, n) and v.shape == (2, n, n)
+
+
+def test_topk_jacobi_matches_lapack_path(rng):
+    """jdiag_topk_batched(small_eigh='jacobi') reproduces the LAPACK
+    Rayleigh-Ritz eigenvalues and subspace on a PSD pencil batch."""
+    n, k, top = 64, 24, 10
+    xa = rng.standard_normal((2, n, n + 8))
+    xb = rng.standard_normal((2, n, n + 8))
+    a = jnp.asarray(xa @ np.swapaxes(xa, 1, 2), jnp.float32)
+    b = jnp.asarray(
+        xb @ np.swapaxes(xb, 1, 2) + 10 * np.eye(n), jnp.float32
+    )
+    q0 = jnp.asarray(rng.standard_normal((2, n, k)), jnp.float32)
+    u1, d1, _ = jdiag_topk_batched(
+        a, b, 1e-7, top, 40, q0, "cholqr2", "invert", "lapack"
+    )
+    u2, d2, _ = jdiag_topk_batched(
+        a, b, 1e-7, top, 40, q0, "cholqr2", "invert", "jacobi",
+        jacobi_sweeps=10, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=5e-4, atol=1e-5
+    )
+    # Same invariant subspace: projector difference is small.
+    for z in range(2):
+        p1, _ = np.linalg.qr(np.asarray(u1[z], np.float64))
+        p2, _ = np.linalg.qr(np.asarray(u2[z], np.float64))
+        pr1 = p1 @ p1.T
+        pr2 = p2 @ p2.T
+        assert np.max(np.abs(pr1 - pr2)) < 5e-3
+
+
+def test_engine_jacobi_matches_lapack(small_scene):
+    """Full engine: the float32 production solver with the Pallas Jacobi
+    Rayleigh-Ritz matches the LAPACK small-eigh rank-wise outputs."""
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+
+    cfg0, rir_a, rir_b = small_scene
+    outs = {}
+    for eigh_kind in ("lapack", "jacobi"):
+        cfg = dataclasses.replace(
+            cfg0,
+            dtype="float32",
+            gevd_solver=GevdSolver.SUBSPACE,
+            subspace_iters=8,
+            small_eigh=eigh_kind,
+            jacobi_sweeps=10,
+        )
+        plan = build_plan(cfg, rir_a, rir_b)
+        state = init_state(cfg, key=jax.random.key(0))
+        fn = jax.jit(lambda s, x, y: process_hop(cfg, plan, s, x, y))
+        rng = np.random.default_rng(7)
+        acc = []
+        for _ in range(6):
+            state, out = fn(
+                state,
+                jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+                jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+            )
+            acc.append(np.asarray(out.out_a))
+        outs[eigh_kind] = np.stack(acc)
+    scale = np.max(np.abs(outs["lapack"])) + 1e-12
+    assert (
+        np.max(np.abs(outs["lapack"] - outs["jacobi"])) / scale < 2e-3
+    ), "jacobi small-eigh diverged from the lapack path"

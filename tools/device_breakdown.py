@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Per-op device-time breakdown of a sustained north-star stream.
+
+Runs N hops of the production engine under jax.profiler, then parses the
+XPlane trace and aggregates device time by HLO op category so the
+ms/hop budget can be attributed to kernels (PERF.md's breakdown table).
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_xplane(path):
+    """Return [(name, total_us, count)] for device-plane events."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    with open(path, "rb") as f:
+        data = f.read()
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(data)
+    rows = collections.Counter()
+    counts = collections.Counter()
+    for plane in space.planes:
+        pname = plane.name.lower()
+        if "tpu" not in pname and "device" not in pname and "xla op" not in pname:
+            continue
+        ev_names = plane.event_metadata
+        for line in plane.lines:
+            lname = line.name.lower()
+            # Only op-level lines (XLA Ops / TensorFlow Ops), skip steps
+            if "op" not in lname and "kernel" not in lname:
+                continue
+            for ev in line.events:
+                name = ev_names[ev.metadata_id].name
+                rows[name] += ev.duration_ps / 1e6  # ps -> us
+                counts[name] += 1
+    return rows, counts
+
+
+def main():
+    nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    nh = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, run_stream
+    from apvast_tpu.utils.scenes import scale_scene
+
+    scene = scale_scene(
+        nsrc,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=6,
+        subspace_iters=2,
+        use_pallas_statistics=True,
+        use_pallas_output=True,
+        use_pallas_conv=True,
+        use_matmul_dft=True,
+        small_eigh="jacobi",
+        jacobi_sweeps=3,
+    )
+    cfg = scene.config
+    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    rng = np.random.default_rng(0)
+    sig_a = jnp.asarray(rng.standard_normal(cfg.hop * nh), dtype=jnp.float32)
+    sig_b = jnp.asarray(rng.standard_normal(cfg.hop * nh), dtype=jnp.float32)
+
+    def run(st):
+        st, outs = run_stream(cfg, plan, st, sig_a, sig_b)
+        return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+
+    runj = jax.jit(run)
+    float(runj(state))  # compile + warm
+    t0 = time.time()
+    float(runj(state))
+    wall = (time.time() - t0) / nh * 1000
+    print(f"wall: {wall:.3f} ms/hop over {nh} hops", flush=True)
+
+    logdir = tempfile.mkdtemp(prefix="apvast_prof_")
+    jax.profiler.start_trace(logdir)
+    float(runj(state))
+    jax.profiler.stop_trace()
+
+    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    if not paths:
+        print("no xplane trace found", logdir)
+        return
+    rows, counts = parse_xplane(paths[0])
+    total = sum(rows.values())
+    print(f"device total: {total/1000:.3f} ms = {total/1000/nh:.4f} ms/hop")
+    print(f"{'us/hop':>9} {'count':>6}  op")
+    for name, us in rows.most_common(40):
+        print(f"{us/nh:9.2f} {counts[name]:6d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,8 @@ def main():
         use_pallas_output=True,
         use_pallas_conv=True,
         use_matmul_dft=True,
+        small_eigh="jacobi",
+        jacobi_sweeps=3,
     )
     cfg = scene.config
     print(
