@@ -185,7 +185,9 @@ def process_hop_fd(
     # eigensolver paths emit non-finite eigenvectors for degenerate bins
     # (the CPU path does not); silence those bins instead of letting a
     # transient NaN enter the output overlap chain.
-    w_all = jnp.where(jnp.isfinite(w_all), w_all, 0)
+    bad_w = ~jnp.isfinite(w_all)
+    silenced = jnp.sum(bad_w, dtype=jnp.int32)
+    w_all = jnp.where(bad_w, 0, w_all)
 
     filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V, s, bins)
     # Constrain to J-tap FIR filters (projection: ifft -> truncate ->
@@ -226,5 +228,6 @@ def process_hop_fd(
         out_b=out_vhs[1] if config.run_b else None,
         out_a_t=t_vhs[0],
         out_b_t=t_vhs[1],
+        silenced=silenced,
     )
     return new_state, outputs

@@ -65,16 +65,26 @@ class HopOutputs:
     # duplicates (at V = JL the duplicates would dwarf everything else).
     out_a_t: jax.Array
     out_b_t: jax.Array
+    # Count of non-finite solver outputs zeroed by the NaN guards this
+    # hop (int32 scalar; 0 = healthy). The reference hard-asserts instead
+    # (apvast.py:216 et al.); here a silenced hop stays audible in
+    # metrics so a conditioning regression cannot hide.
+    silenced: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.int32(0)
+    )
 
 
 def _spectral_norm(mat: jax.Array) -> jax.Array:
     """2-norm of a symmetric PSD matrix (for the MATLAB loading variants,
-    apVast.m:552-569 and Python/apvast.py:25-27) by power iteration —
-    a handful of matmuls instead of a dense eigendecomposition; the
-    loading constant needs only a few digits of accuracy."""
+    apVast.m:552-569 and Python/apvast.py:25-27) by power iteration on
+    R^2 — two matvecs per step square the convergence ratios, so even a
+    clustered top spectrum (plain power iteration's hard case) lands
+    within ~1% of the exact ``norm(R)`` the reference uses; verified
+    against ``np.linalg.norm(R, 2)`` in
+    tests/test_subspace_solver.py::test_spectral_norm_matches_exact."""
     v = jnp.ones((mat.shape[-1],), dtype=mat.dtype)
     def body(v, _):
-        w = mat @ v
+        w = mat @ (mat @ v)
         return w / (jnp.linalg.norm(w) + 1e-30), None
     v, _ = jax.lax.scan(body, v / jnp.linalg.norm(v), None, length=12)
     return jnp.abs(v @ (mat @ v))
@@ -288,12 +298,12 @@ def process_hop(
     b_stack = r_mats[jnp.asarray([1, 2])]
     eye = jnp.eye(s * j, dtype=dtype)
 
-    if config.reg_b_relative > 0:
+    if config.effective_reg_b_relative > 0:
         # Scale-aware extra loading for float32 production on scenes whose
         # covariance magnitude dwarfs the reference's absolute reg_b.
         mean_diag = jnp.einsum("zii->z", b_stack) / (s * j)
         b_stack = b_stack + (
-            config.reg_b_relative * mean_diag
+            config.effective_reg_b_relative * mean_diag
         )[:, None, None] * eye
 
     if config.regularization is RegularizationVariant.PYTHON:
@@ -320,7 +330,7 @@ def process_hop(
     if config.gevd_solver is GevdSolver.SUBSPACE:
         # Warm-started blocked subspace iteration for the top eigenpairs
         # (ops/jdiag.jdiag_topk) — MXU matmuls instead of a dense eigh.
-        u, lam, gevd_q = jdiag_topk_batched(
+        u, lam, gevd_q, silenced = jdiag_topk_batched(
             a_stack,
             b_stack,
             reg,
@@ -332,9 +342,14 @@ def process_hop(
             config.small_eigh,
             config.jacobi_sweeps,
             interpret=(jax.default_backend() == "cpu"),
-        )  # (2, jl, v), (2, v), (2, jl, k)
+        )  # (2, jl, v), (2, v), (2, jl, k), int32
     else:
         u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)
+        # The exact path has no zeroing guard (parity semantics) — still
+        # COUNT non-finites so observability surfaces a blowup.
+        silenced = jnp.sum(~jnp.isfinite(u), dtype=jnp.int32) + jnp.sum(
+            ~jnp.isfinite(lam), dtype=jnp.int32
+        )
     w_family = jax.vmap(variable_span_filters, in_axes=(0, 0, 0, None, None))(
         u, lam, r_vecs, config.mu, v
     )  # (2, v, jl)
@@ -421,5 +436,6 @@ def process_hop(
         out_b=out_vhs[1] if config.run_b else None,
         out_a_t=t_vhs[0],
         out_b_t=t_vhs[1],
+        silenced=silenced,
     )
     return new_state, outputs

@@ -41,6 +41,10 @@ class HopMetrics:
     nmse_a: jax.Array  # (spans,)
     nmse_b: jax.Array  # (spans,)
     output_rms: jax.Array  # (2, spans)
+    # Non-finite solver/filter values zeroed by the engine's NaN guards
+    # this hop (int32; 0 = healthy). A persistent positive count means a
+    # conditioning problem that the guards would otherwise hide.
+    silenced: jax.Array  # ()
 
 
 def hop_metrics(outputs, rir_a, rir_b) -> HopMetrics:
@@ -75,6 +79,7 @@ def hop_metrics(outputs, rir_a, rir_b) -> HopMetrics:
         nmse_a=normalized_mse(p_aa, t_a),
         nmse_b=normalized_mse(p_bb, t_b),
         output_rms=jnp.stack([rms(out_a), rms(out_b)]),
+        silenced=outputs.silenced,
     )
 
 

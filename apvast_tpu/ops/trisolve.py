@@ -19,6 +19,40 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def neumann_tri_inverse(l: jax.Array, refine: int = 2) -> jax.Array:
+    """Inverse of (batched) lower-triangular ``l`` by exact Neumann
+    doubling — matmuls only, no triangular-solve custom calls.
+
+    Write L = D (I - M) with D = diag(L) and M strictly lower. M is
+    nilpotent (M^n = 0), so the Neumann series terminates and factors as
+    (I - M)^-1 = prod_j (I + M^(2^j)): ceil(log2(n)) squarings instead of
+    n substitution steps. The squaring products cancel catastrophically
+    in float32 when L is ill-conditioned, so ``refine`` Newton steps
+    X <- X + X (I - L X) square the residual back down to the
+    substitution-path level (each step is two more batched matmuls).
+    All matmuls run at HIGHEST precision.
+    """
+    n = l.shape[-1]
+    eye = jnp.eye(n, dtype=l.dtype)
+    d = jnp.diagonal(l, axis1=-2, axis2=-1)  # (..., n)
+    dinv = 1.0 / d
+    m = eye - dinv[..., :, None] * l  # strictly lower, exact zeros on diag
+    x = eye + m
+    p = m
+    steps = max(0, (n - 1).bit_length() - 1)
+    for _ in range(steps):
+        p = jnp.matmul(p, p, precision=_HI)
+        x = x + jnp.matmul(x, p, precision=_HI)
+    x = x * dinv[..., None, :]  # right-multiply by D^-1
+    for _ in range(refine):
+        x = x + jnp.matmul(
+            x, eye - jnp.matmul(l, x, precision=_HI), precision=_HI
+        )
+    return x
+
 
 def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
     """Inverse of a lower-triangular matrix by blocked recursion.
@@ -45,17 +79,11 @@ def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
         )(chol.reshape(-1, n, n)).reshape(chol.shape)
 
     b = n // num_blocks
-    # Diagonal blocks: (nb, b, b) — one batched substitution.
+    # Diagonal blocks: (nb, b, b) — inverted together with matmul-only
+    # Neumann doubling (the substitution custom call is latency-bound).
     blocks = chol.reshape(num_blocks, b, num_blocks, b)
     diag_ii = jnp.einsum("ixiy->ixy", blocks)  # (nb, b, b)
-    # Explicitly batch the identity RHS: solve_triangular's broadcasting
-    # is ambiguous when nb == b.
-    eye_b = jnp.broadcast_to(
-        jnp.eye(b, dtype=chol.dtype), (num_blocks, b, b)
-    )
-    inv_diag = jax.vmap(
-        lambda l, e: solve_triangular(l, e, lower=True)
-    )(diag_ii, eye_b)
+    inv_diag = neumann_tri_inverse(diag_ii)
 
     # Assemble block-diagonal inverse, then merge pairwise upward.
     x = jnp.zeros_like(chol)

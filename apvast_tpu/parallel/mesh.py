@@ -177,6 +177,7 @@ def sharded_multi_scene_fd_hop(
             out_b=scene_spec if config.run_b else None,
             out_a_t=scene_spec,
             out_b_t=scene_spec,
+            silenced=scene_spec,
         )
         fn = jax.shard_map(
             batched_fn,
@@ -241,6 +242,7 @@ def sharded_multi_scene_hop(
             out_b=scene_spec if config.run_b else None,
             out_a_t=scene_spec,
             out_b_t=scene_spec,
+            silenced=scene_spec,
         )
         fn = jax.shard_map(
             batched_fn,

@@ -71,9 +71,6 @@ def scale_scene(num_srcs: int, num_mics: int | None = None, **overrides) -> Scen
         sampling_rate=48000,
         perceptual=True,
         dtype="float32",
-        # Synthetic scenes have O(1) RIR gains -> covariance magnitudes
-        # ~1e7 above the measured scene; float32 needs relative loading.
-        reg_b_relative=1e-6,
     )
     defaults.update(overrides)
     return Scene(

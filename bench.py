@@ -8,9 +8,14 @@ mu = 1 — the reference's `make_python_test.m` hyperparameters, measured at
 ~2.2 s/hop (132x slower than real time) on the 1-core CPU reference.
 
 Runs the float32 production engine (subspace GEVD solver, validated
-contrast-exact vs the reference solver). Prints ONE JSON line:
-  {"metric": "rtf_filter_updates", "value": <x real time>,
-   "unit": "x_realtime", "vs_baseline": <speedup over reference>}
+contrast-exact vs the reference solver). Prints ONE JSON line whose
+headline value is the sustained streaming RTF on the baseline scene, with
+honesty fields (VERDICT round-1 weak #3):
+  - "dispatch_latency_ms"/"latency_rtf": per-single-hop-dispatch cost —
+    the number that matters for a one-hop-in, one-hop-out live loop;
+  - "north_star_rtf": sustained RTF on the true north-star scene
+    (16 loudspeakers, 48 kHz, perceptual ON, JL=800; BASELINE.json
+    requires >= 10).
 
 Robustness: the TPU tunnel in this environment can wedge on unsupported
 ops, so the measurement runs in a watchdogged child process; if the TPU
@@ -30,8 +35,61 @@ HOP_SECONDS = 800 / 48000.0
 REFERENCE_RTF = 1.0 / 132.0  # BASELINE.md: 132x slower than real time
 
 
+def _production_overrides(device: str) -> dict:
+    from apvast_tpu.config import GevdSolver
+
+    return dict(
+        dtype="float32",
+        # Performance mode: warm-started top-V subspace GEVD (validated
+        # contrast-exact vs the reference solver at every rank,
+        # tests/test_subspace_solver.py) + fused Pallas kernels + the
+        # Pallas cyclic-Jacobi Rayleigh-Ritz eigensolver.
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=6,
+        subspace_iters=2,
+        use_pallas_statistics=(device == "tpu"),
+        use_pallas_output=(device == "tpu"),
+        use_pallas_conv=(device == "tpu"),
+        use_matmul_dft=(device == "tpu"),
+        small_eigh="jacobi" if device == "tpu" else "lapack",
+        jacobi_sweeps=3,
+    )
+
+
+def _sustained_rtf(cfg, plan, state, num_hops, reps=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apvast_tpu.engine import run_stream
+
+    rng = np.random.default_rng(0)
+    sig_a = jnp.asarray(
+        rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32
+    )
+    sig_b = jnp.asarray(
+        rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32
+    )
+
+    def run(state):
+        state, outs = run_stream(cfg, plan, state, sig_a, sig_b)
+        # Scalar checksum forces real completion (axon's block_until_ready
+        # does not actually wait).
+        return state, jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+
+    state1, chk = run(state)  # warmup/compile
+    if not np.isfinite(float(chk)):
+        raise RuntimeError("non-finite outputs")
+    t0 = time.time()
+    for _ in range(reps):
+        _, chk = run(state1)
+    float(chk)
+    per_hop = (time.time() - t0) / (reps * num_hops)
+    return HOP_SECONDS / per_hop, per_hop
+
+
 def measure(device: str) -> int:
-    """Child mode: run the measurement and print the JSON line."""
+    """Child mode: run the measurements and print the JSON line."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import numpy as np
 
@@ -42,8 +100,8 @@ def measure(device: str) -> int:
     import jax
     import jax.numpy as jnp
 
-    from apvast_tpu.config import ApVastConfig, GevdSolver
-    from apvast_tpu.engine import build_plan, init_state, run_stream
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.engine import build_plan, init_state, process_hop
     from apvast_tpu.utils import load_reference_rirs
 
     rir_a, rir_b = load_reference_rirs()
@@ -60,59 +118,58 @@ def measure(device: str) -> int:
         statistics_buffer_length=1000,
         sampling_rate=48000,
         perceptual=False,  # matches the measured baseline configuration
-        dtype="float32",
-        # Performance mode: warm-started top-V subspace GEVD (validated
-        # contrast-exact vs the reference solver at every rank on this
-        # scene, tests/test_subspace_solver.py) + fused Pallas statistics.
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=6,
-        subspace_iters=2,
-        use_pallas_statistics=(device == "tpu"),
-        use_pallas_output=(device == "tpu"),
-        use_pallas_conv=(device == "tpu"),
-        use_matmul_dft=(device == "tpu"),
+        **_production_overrides(device),
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))
 
-    rng = np.random.default_rng(0)
     # 128 hops per dispatch measures sustained streaming throughput (the
     # tunnel costs ~9 ms per dispatch regardless of stream length; the
     # baseline's 2.2 s/hop is likewise a steady-state number).
     num_hops = 16 if device == "cpu" else 128
-    sig_a = jnp.asarray(rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32)
-    sig_b = jnp.asarray(rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32)
+    rtf, _ = _sustained_rtf(cfg, plan, state, num_hops)
 
-    def run(state):
-        state, outs = run_stream(cfg, plan, state, sig_a, sig_b)
-        # Scalar checksum forces real completion (axon's block_until_ready
-        # does not actually wait).
-        return state, jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+    result = {
+        "metric": "rtf_filter_updates",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / REFERENCE_RTF, 1),
+        "device": device,
+    }
 
-    state1, chk = run(state)  # warmup/compile
-    if not np.isfinite(float(chk)):
-        print(json.dumps({"error": "non-finite outputs"}))
-        return 1
+    # Honesty fields: per-single-hop-dispatch latency on the same scene.
+    try:
+        rng = np.random.default_rng(1)
+        hop_a = jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32)
+        hop_b = jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32)
+        fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+        st, out = fn(state, hop_a, hop_b)
+        float(jnp.sum(jnp.abs(out.out_a)))
+        reps = 30
+        t0 = time.time()
+        for _ in range(reps):
+            st, out = fn(st, hop_a, hop_b)
+        float(jnp.sum(jnp.abs(out.out_a)))
+        lat = (time.time() - t0) / reps
+        result["dispatch_latency_ms"] = round(lat * 1000, 3)
+        result["latency_rtf"] = round(HOP_SECONDS / lat, 3)
+    except Exception as exc:  # pragma: no cover - robustness only
+        result["dispatch_latency_error"] = str(exc)[:200]
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        _, chk = run(state1)
-    float(chk)
-    per_hop = (time.time() - t0) / (reps * num_hops)
+    # North-star scene (BASELINE.json): 16 speakers, perceptual ON.
+    if device == "tpu":
+        try:
+            from apvast_tpu.utils.scenes import scale_scene
 
-    rtf = HOP_SECONDS / per_hop
-    print(
-        json.dumps(
-            {
-                "metric": "rtf_filter_updates",
-                "value": round(rtf, 3),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf / REFERENCE_RTF, 1),
-                "device": device,
-            }
-        )
-    )
+            ns = scale_scene(16, **_production_overrides(device))
+            ns_plan = build_plan(ns.config, ns.rir_a, ns.rir_b)
+            ns_state = init_state(ns.config, key=jax.random.key(0))
+            ns_rtf, _ = _sustained_rtf(ns.config, ns_plan, ns_state, 128)
+            result["north_star_rtf"] = round(ns_rtf, 3)
+        except Exception as exc:  # pragma: no cover
+            result["north_star_error"] = str(exc)[:200]
+
+    print(json.dumps(result))
     return 0
 
 
@@ -142,7 +199,7 @@ def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         return measure(sys.argv[2])
 
-    result = _try_child("tpu", timeout=480)
+    result = _try_child("tpu", timeout=540)
     if result is None:
         result = _try_child("cpu", timeout=900)
     if result is None:

@@ -58,14 +58,16 @@ def main() -> int:
     from apvast_tpu.perceptual import build_perceptual_tables
     from apvast_tpu.utils import load_reference_rirs
 
-    # Control RIRs = the bundled scene; validation RIRs = a slightly
-    # perturbed copy, scaled relative to the scene's own RMS (the
-    # reference's separate validation mic set lives in the stripped
-    # Matlab/rirs.mat blob, main.m:35).
+    # Control RIRs = the bundled scene. The reference's separate
+    # validation mic set lives in the stripped Matlab/rirs.mat blob
+    # (main.m:35), so build a HELD-OUT validation set from the measured
+    # data itself: virtual microphones halfway between adjacent control
+    # mics (pairwise-averaged RIRs — the two-path sum a mic between the
+    # pair would approximately measure). Unlike a perturbed copy of the
+    # control set, these positions never enter the filter design.
     rir_a, rir_b = load_reference_rirs()
-    scale = 0.02 * float(np.sqrt((rir_a**2).mean()))
-    val_a = rir_a + scale * np.random.default_rng(99).standard_normal(rir_a.shape)
-    val_b = rir_b + scale * np.random.default_rng(98).standard_normal(rir_b.shape)
+    val_a = 0.5 * (rir_a[:, :, :-1] + rir_a[:, :, 1:])
+    val_b = 0.5 * (rir_b[:, :, :-1] + rir_b[:, :, 1:])
 
     filter_length, srcs = 100, rir_a.shape[1]
     common = dict(

@@ -83,10 +83,11 @@ def test_topk_jacobi_matches_lapack_path(rng):
         xb @ np.swapaxes(xb, 1, 2) + 10 * np.eye(n), jnp.float32
     )
     q0 = jnp.asarray(rng.standard_normal((2, n, k)), jnp.float32)
-    u1, d1, _ = jdiag_topk_batched(
+    u1, d1, _, sil1 = jdiag_topk_batched(
         a, b, 1e-7, top, 40, q0, "cholqr2", "invert", "lapack"
     )
-    u2, d2, _ = jdiag_topk_batched(
+    assert int(sil1) == 0
+    u2, d2, _, _ = jdiag_topk_batched(
         a, b, 1e-7, top, 40, q0, "cholqr2", "invert", "jacobi",
         jacobi_sweeps=10, interpret=True,
     )

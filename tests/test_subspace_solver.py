@@ -127,6 +127,42 @@ def test_triangular_inverse(rng):
         assert np.allclose(np.triu(li, 1), 0.0)
 
 
+def test_neumann_tri_inverse(rng):
+    """Matmul-only triangular inversion: exact on well-conditioned
+    factors AND on the Cholesky factor of an ill-conditioned covariance
+    (the solver's real operating point)."""
+    from apvast_tpu.ops.trisolve import neumann_tri_inverse
+
+    for n in (7, 50, 56, 128):
+        x = rng.standard_normal((3, n, n + 4))
+        spd = x @ np.swapaxes(x, 1, 2) + n * np.eye(n)
+        chol = np.linalg.cholesky(spd)
+        li = np.asarray(neumann_tri_inverse(jnp.asarray(chol)))
+        np.testing.assert_allclose(
+            li @ chol, np.broadcast_to(np.eye(n), (3, n, n)), atol=1e-10
+        )
+    # Ill-conditioned: rank-deficient covariance + tiny loading
+    # (cond ~ 1e9), float64 and float32.
+    y = rng.standard_normal((20, 128))
+    spd = y.T @ y + 1e-7 * np.trace(y.T @ y) / 128 * np.eye(128)
+    chol = np.linalg.cholesky(spd)
+    li = np.asarray(neumann_tri_inverse(jnp.asarray(chol)))
+    np.testing.assert_allclose(li @ chol, np.eye(128), atol=1e-6)
+    # Float32 accuracy must match the substitution path (the Newton
+    # refinement inside neumann_tri_inverse squares away the squaring-
+    # cancellation error).
+    from jax.scipy.linalg import solve_triangular
+
+    c32 = jnp.asarray(chol, jnp.float32)
+    li32 = np.asarray(neumann_tri_inverse(c32)).astype(np.float64)
+    li_sub = np.asarray(
+        solve_triangular(c32, jnp.eye(128, dtype=jnp.float32), lower=True)
+    ).astype(np.float64)
+    r_neu = np.max(np.abs(li32 @ chol - np.eye(128)))
+    r_sub = np.max(np.abs(li_sub @ chol - np.eye(128)))
+    assert r_neu < 3 * r_sub + 1e-6, f"neumann {r_neu} vs substitution {r_sub}"
+
+
 def test_invert_whitening_matches_solve(rng):
     """Same eigenvalues, and the synthesized variable-span filters (the
     engine's consumable) agree — raw eigenvectors may differ by roundoff
@@ -144,3 +180,28 @@ def test_invert_whitening_matches_solve(rng):
     w1 = (np.asarray(u1) * ((np.asarray(u1).T @ r) / (np.asarray(d1) + 1.0))).sum(1)
     w2 = (np.asarray(u2) * ((np.asarray(u2).T @ r) / (np.asarray(d2) + 1.0))).sum(1)
     np.testing.assert_allclose(w1, w2, rtol=1e-5, atol=1e-8)
+
+
+def test_spectral_norm_matches_exact(rng):
+    """The MATLAB-loading power-iteration norm (engine/hop._spectral_norm)
+    vs numpy's exact 2-norm (apVast.m:552-569 uses norm(R)) — on real
+    covariance matrices built from framed signals, including a clustered
+    top spectrum (the power method's hard case)."""
+    from apvast_tpu.engine.hop import _spectral_norm
+
+    # Real covariance: framed filtered-noise signal (decaying spectrum).
+    sig = np.convolve(rng.standard_normal(4000), np.ones(8) / 8)[:4000]
+    frames = np.lib.stride_tricks.sliding_window_view(sig, 80)[::3]
+    r = frames.T @ frames
+    got = float(_spectral_norm(jnp.asarray(r)))
+    want = np.linalg.norm(r, 2)
+    assert abs(got - want) / want < 1e-3, (got, want)
+
+    # Clustered top eigenvalues: lambda1/lambda2 = 1.001.
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    lam = np.concatenate([[1.001, 1.0], rng.uniform(0.01, 0.9, 62)])
+    r = (q * lam) @ q.T
+    got = float(_spectral_norm(jnp.asarray((r + r.T) / 2)))
+    want = np.linalg.norm((r + r.T) / 2, 2)
+    # Within the cluster is fine for a loading constant (1% accuracy).
+    assert abs(got - want) / want < 1e-2, (got, want)

@@ -208,3 +208,46 @@ def test_hop_metrics_disabled_zone(small_scene):
     assert np.isfinite(np.asarray(m.contrast_a_db)).all()
     # Disabled zone reports zero RMS.
     np.testing.assert_allclose(np.asarray(m.output_rms[1]), 0.0)
+
+
+def test_nan_guard_counter(small_scene, rng):
+    """The solver's NaN-silencing guards COUNT what they zero
+    (VERDICT round-1 weak #4): a poisoned pencil reports silenced > 0
+    and still yields finite outputs; a healthy hop reports 0."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.ops.jdiag import jdiag_topk_batched
+
+    # Unit level: NaN in the pencil -> counted, outputs finite.
+    n, k = 32, 8
+    xa = rng.standard_normal((2, n, n + 4))
+    a = jnp.asarray(xa @ xa.transpose(0, 2, 1), jnp.float32)
+    a = a.at[0, 0, 0].set(jnp.nan)
+    b = jnp.asarray(
+        rng.standard_normal((2, n, n)) * 0 + jnp.eye(n), jnp.float32
+    )
+    q0 = jnp.asarray(rng.standard_normal((2, n, k)), jnp.float32)
+    u, d, q, silenced = jdiag_topk_batched(
+        a, b, 1e-7, 4, 4, q0, "cholqr2", "invert"
+    )
+    assert int(silenced) > 0
+    assert bool(jnp.all(jnp.isfinite(u))) and bool(jnp.all(jnp.isfinite(d)))
+
+    # Engine level: healthy scene reports silenced == 0 per hop.
+    cfg, rir_a, rir_b = small_scene
+    cfg = dataclasses.replace(
+        cfg, dtype="float32", gevd_solver=GevdSolver.SUBSPACE
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    state, out = jax.jit(lambda s, x, y: process_hop(cfg, plan, s, x, y))(
+        state,
+        jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+        jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+    )
+    assert int(out.silenced) == 0

@@ -128,9 +128,9 @@ def main():
     eye = jnp.eye(cfg.num_srcs * j, dtype=jnp.float32)
     a_stack = r_mats[jnp.asarray([0, 3])]
     b_stack = r_mats[jnp.asarray([1, 2])]
-    if cfg.reg_b_relative > 0:
+    if cfg.effective_reg_b_relative > 0:
         md = jnp.einsum("zii->z", b_stack) / (cfg.num_srcs * j)
-        b_stack = b_stack + (cfg.reg_b_relative * md)[:, None, None] * eye
+        b_stack = b_stack + (cfg.effective_reg_b_relative * md)[:, None, None] * eye
 
     def stage5(a, b, q):
         return jdiag_topk_batched(

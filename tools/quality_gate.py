@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Quality gate: production config vs exact eigh solver, rank-1 and
+rank-top contrast on a scene (default north-star 16-speaker).
+
+Usage: quality_gate.py [nsrc] [hops]
+Prints contrast pairs and asserts |delta| < 0.25 dB.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from apvast_tpu.config import GevdSolver
+from apvast_tpu.engine import build_plan, init_state, process_hop
+from apvast_tpu.evaluation import acoustic_contrast_db, predict_pressure
+from apvast_tpu.utils.scenes import reference_scene, scale_scene
+
+
+def contrasts(cfg, rir_a, rir_b, hops, ranks):
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    rng = np.random.default_rng(4)
+    outs = []
+    for _ in range(hops):
+        state, out = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+            jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+        )
+        outs.append(np.asarray(out.out_a))
+    res = {}
+    warm = hops // 2
+    for r in ranks:
+        feeds = np.concatenate([o[r] for o in outs[warm:]], axis=0)
+        res[r] = float(
+            acoustic_contrast_db(
+                predict_pressure(jnp.asarray(feeds), jnp.asarray(rir_a)),
+                predict_pressure(jnp.asarray(feeds), jnp.asarray(rir_b)),
+            )
+        )
+    return res
+
+
+def main():
+    nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    hops = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    if nsrc == 8:
+        scene = reference_scene()
+    else:
+        scene = scale_scene(nsrc)
+    cfg = scene.config
+    ranks = [0, cfg.num_eigenvectors - 1]
+
+    exact = contrasts(cfg, scene.rir_a, scene.rir_b, hops, ranks)
+    print(f"exact eigh: rank1 {exact[ranks[0]]:.3f} dB, "
+          f"rank{ranks[1]+1} {exact[ranks[1]]:.3f} dB", flush=True)
+
+    prod_cfg = dataclasses.replace(
+        cfg,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=6,
+        subspace_iters=2,
+        use_pallas_statistics=True,
+        use_pallas_output=True,
+        use_pallas_conv=True,
+        use_matmul_dft=True,
+        small_eigh="jacobi",
+        jacobi_sweeps=int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+    )
+    prod = contrasts(prod_cfg, scene.rir_a, scene.rir_b, hops, ranks)
+    print(f"production: rank1 {prod[ranks[0]]:.3f} dB, "
+          f"rank{ranks[1]+1} {prod[ranks[1]]:.3f} dB", flush=True)
+    for r in ranks:
+        delta = abs(exact[r] - prod[r])
+        status = "OK" if delta < 0.25 else "FAIL"
+        print(f"rank {r+1}: delta {delta:.4f} dB [{status}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()
