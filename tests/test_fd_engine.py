@@ -2,6 +2,7 @@
 engine behavior, and acoustic quality on a synthetic scene."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,3 +149,58 @@ def test_fd_filters_are_fir_constrained(rng):
     # the engine carries complex covariance state.
     assert state.cov.dtype in (jnp.complex64, jnp.complex128)
     assert np.isfinite(np.asarray(out.out_a)).all()
+
+
+@pytest.mark.slow
+def test_fd_frontier_operating_point():
+    """Pins the measured FD-engine frontier (PERF.md round-2 sweep): the
+    best grid point (forgetting 0.97, per-bin rank = num_srcs, auto
+    loading) reaches >= 13.5 dB contrast and <= 0.12 NMSE on the bundled
+    scene — a regression floor for the 'different trade-off point'
+    claim."""
+    import numpy as np
+
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.engine import build_plan
+    from apvast_tpu.engine.fd_hop import init_fd_state, process_hop_fd
+    from apvast_tpu.evaluation import (
+        acoustic_contrast_db,
+        normalized_mse,
+        predict_pressure,
+    )
+    from apvast_tpu.utils import load_reference_rirs
+
+    rir_a, rir_b = load_reference_rirs()
+    cfg = ApVastConfig.for_rirs(
+        rir_a, rir_b, block_size=1600, filter_length=100, modeling_delay=20,
+        reference_index_a=7, reference_index_b=7, num_eigenvectors=8,
+        mu=1.0, statistics_buffer_length=201, sampling_rate=48000,
+        perceptual=True, dtype="float32",
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_fd_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(
+        lambda s, a, b: process_hop_fd(cfg, plan, s, a, b, forgetting=0.97)
+    )
+    rng = np.random.default_rng(4)
+    hops = 16
+    outs = []
+    for _ in range(hops):
+        state, out = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+            jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+        )
+        outs.append(
+            (np.asarray(out.out_a[-1]), np.asarray(out.out_a_t))
+        )
+    warm = hops // 2
+    fa = np.concatenate([o[0] for o in outs[warm:]], axis=0)
+    ta = np.concatenate([o[1] for o in outs[warm:]], axis=0)
+    p_aa = predict_pressure(jnp.asarray(fa), jnp.asarray(rir_a))
+    p_ab = predict_pressure(jnp.asarray(fa), jnp.asarray(rir_b))
+    pt_a = predict_pressure(jnp.asarray(ta), jnp.asarray(rir_a))
+    contrast = float(acoustic_contrast_db(p_aa, p_ab))
+    nmse = float(normalized_mse(p_aa, pt_a))
+    assert contrast >= 13.5, contrast
+    assert nmse <= 0.12, nmse

@@ -243,3 +243,80 @@ def test_long_run_stability(rng):
     early = contrast(slice(10, 40))
     late = contrast(slice(70, 100))
     assert late > early - 1.5, f"contrast degraded: {early:.1f} -> {late:.1f} dB"
+
+
+@pytest.mark.slow
+def test_scale_scene_32_speakers_jl1600():
+    """BASELINE.json config 5 (32-loudspeaker TPU-scale sweep): the
+    engine runs the JL = 1600 pencil end-to-end (exact solver, float32)
+    with finite outputs and positive contrast, and the offline
+    mu x rank design surface at JL = 1600 behaves (contrast decreasing
+    in mu at fixed rank; all points finite)."""
+    import dataclasses
+
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.models import vast_offline_sweep
+    from apvast_tpu.utils.scenes import scale_scene
+
+    # Reduced mic count / statistics buffer keep the CPU test tractable;
+    # geometry (32 srcs x J=50 -> JL=1600) is the config-5 pencil size.
+    # float64: at 6 mics x 350 frames the 1600-dim covariance is barely
+    # overdetermined and float32 Cholesky fails — the production-scale
+    # run uses the full mic array and statistics buffer.
+    scene = scale_scene(
+        32, num_mics=6, statistics_buffer_length=400, dtype="float64"
+    )
+    cfg = scene.config
+    assert cfg.jl == 1600
+    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    local = np.random.default_rng(5)
+    outs = []
+    for _ in range(4):
+        state, out = fn(
+            state,
+            jnp.asarray(local.standard_normal(cfg.hop), jnp.float32),
+            jnp.asarray(local.standard_normal(cfg.hop), jnp.float32),
+        )
+        assert int(out.silenced) == 0
+        outs.append(np.asarray(out.out_a))
+    feeds = np.concatenate([o[0] for o in outs[2:]], axis=0)
+    contrast = float(
+        acoustic_contrast_db(
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_a)),
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_b)),
+        )
+    )
+    assert np.isfinite(contrast) and contrast > 0.5, contrast
+
+    # Offline mu x rank surface at the same JL (vast.m:85-91 per point).
+    mu_grid = jnp.asarray([0.1, 1.0, 10.0], jnp.float32)
+    surface = vast_offline_sweep(
+        jnp.asarray(scene.rir_a, jnp.float32),
+        jnp.asarray(scene.rir_b, jnp.float32),
+        filter_length=50,
+        modeling_delay=24,
+        reference_index=0,
+        num_eigenvectors=8,
+        mu_grid=mu_grid,
+        num_steps=400,
+        reg=1e-5,
+    )
+    assert surface.shape == (3, 8, 50, 32)
+    assert bool(jnp.all(jnp.isfinite(surface)))
+
+    def sweep_contrast(w):
+        imp = np.zeros((400, 32), np.float32)
+        imp[: w.shape[0]] = np.asarray(w)
+        pa = predict_pressure(jnp.asarray(imp), jnp.asarray(scene.rir_a))
+        pb = predict_pressure(jnp.asarray(imp), jnp.asarray(scene.rir_b))
+        return float(acoustic_contrast_db(pa, pb))
+
+    # Rank-1 (ACC-like) designs: contrast should not increase with mu.
+    c = [sweep_contrast(surface[i, 0]) for i in range(3)]
+    assert c[0] >= c[1] >= c[2] - 0.5, c
+    # Higher rank trades contrast for target fidelity at fixed mu.
+    c_lo = sweep_contrast(surface[1, 0])
+    c_hi = sweep_contrast(surface[1, -1])
+    assert c_lo >= c_hi - 1e-6, (c_lo, c_hi)

@@ -116,3 +116,68 @@ def test_unit_norm_variants():
     g2 = perceptual_gain(spec, *args, WeightingNorm.UNIT_SYMMETRIC)[0]
     sym = np.concatenate([np.asarray(g2), np.asarray(g2)[1:-1][::-1]])
     np.testing.assert_allclose(np.linalg.norm(sym), 1.0, rtol=1e-10)
+
+
+def test_masking_curve_figure_2b():
+    """Curve-level reproduction of testPerceptualModel.m (paper Fig. 2b):
+    the masking curve 1/w^2 (perceptualModel.m:141-149) converted to dB
+    SPL must (a) reproduce threshold-in-quiet == the ISO 226:2003 points
+    for a silent masker, (b) for a 50 dB SPL 1 kHz sine show a masked
+    threshold near the masker consistent with the model's own
+    calibration law (52 dB probe at 70 dB masker => ~32 dB at 50 dB
+    masker), and (c) fall back to threshold-in-quiet far from the
+    masker."""
+    from apvast_tpu.perceptual.model import squared_weighting
+    from apvast_tpu.perceptual.tables import _ISO226_FREQ as ISO226_FREQUENCIES
+
+    fs, block, cal_db = 48000.0, 4800, 94.0
+    tables = build_perceptual_tables(block, fs, cal_db)
+    freq = np.arange(block // 2 + 1) * fs / block
+    fullscale_pa = 10 ** (cal_db / 20) * 20e-6
+
+    def masking_db_spl(signal):
+        spec = np.fft.rfft(signal)
+        w2 = np.asarray(
+            squared_weighting(
+                jnp.asarray(spec),
+                jnp.asarray(tables.cfmr_sq),
+                tables.cs,
+                tables.ca,
+                tables.leff,
+                tables.spectrum_scale,
+            )
+        )
+        # Masked-threshold SPL of a bin sine: amplitude A* with
+        # w^2 (A*/sqrt(2))^2 = 1  =>  SPL = 10log10(1/w^2) + cal_db.
+        return 10 * np.log10(1.0 / w2) + cal_db
+
+    # (a) threshold in quiet vs the ISO table points (1-ERB gammatone
+    # spacing ripples; testPerceptualModel.m's plotted agreement is
+    # within a few dB).
+    quiet = masking_db_spl(np.zeros(block))
+    for f_ref in ISO226_FREQUENCIES:
+        if f_ref < 20 or f_ref > 15000:
+            continue
+        # Evaluate at the nearest FFT bin and compare against the ISO
+        # spline at that bin's frequency (10 Hz bin spacing — 25 Hz
+        # itself falls between bins).
+        b = int(round(f_ref / (fs / block)))
+        f_bin = b * fs / block
+        want = float(threshold_of_hearing_db(np.array([f_bin]))[0])
+        assert abs(quiet[b] - want) < 3.0, (f_ref, quiet[b], want)
+
+    # (b) masked threshold at a 50 dB SPL 1 kHz masker: the calibration
+    # law (probe tracks masker at -18 dB for on-frequency maskers well
+    # above threshold) puts it near 32 dB SPL.
+    t = np.arange(block) / fs
+    a50 = np.sqrt(2) * 10 ** (50 / 20) * 20e-6 / fullscale_pa
+    bin_1k = int(round(1000.0 / (fs / block)))
+    f_masker = bin_1k * fs / block  # bin-centered ~1 kHz
+    masked = masking_db_spl(a50 * np.sin(2 * np.pi * f_masker * t))
+    assert 29.0 < masked[bin_1k] < 38.0, masked[bin_1k]
+    # Masking only ever raises the threshold.
+    assert np.all(masked >= quiet - 1e-6)
+    # (c) far from the masker the curve returns to threshold-in-quiet.
+    for f_far in (100.0, 10000.0):
+        b = int(round(f_far / (fs / block)))
+        assert abs(masked[b] - quiet[b]) < 1.5, (f_far, masked[b], quiet[b])
