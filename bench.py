@@ -45,7 +45,7 @@ def _production_overrides(device: str) -> dict:
         # tests/test_subspace_solver.py) + fused Pallas kernels + the
         # Pallas cyclic-Jacobi Rayleigh-Ritz eigensolver.
         gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=6,
+        subspace_oversample=10,
         subspace_iters=2,
         use_pallas_statistics=(device == "tpu"),
         use_pallas_output=(device == "tpu"),

@@ -136,3 +136,64 @@ def test_engine_jacobi_matches_lapack(small_scene):
     assert (
         np.max(np.abs(outs["lapack"] - outs["jacobi"])) / scale < 2e-3
     ), "jacobi small-eigh diverged from the lapack path"
+
+
+@pytest.mark.slow
+def test_north_star_production_solver_quality():
+    """North-star scene (16 speakers, perceptual ON, JL=800): the full
+    production solver stack (SUBSPACE + cholqr2 + invert whitening +
+    Pallas Jacobi Rayleigh-Ritz, float32) matches the exact EIGH solver's
+    rank-1 and rank-50 contrast within 0.25 dB. The Pallas data-path
+    kernels are covered separately by element-exact tests; this gates the
+    solver approximations at the scene the BASELINE north star names."""
+    import numpy as np
+
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.evaluation import acoustic_contrast_db, predict_pressure
+    from apvast_tpu.utils.scenes import scale_scene
+
+    scene = scale_scene(16)
+    cfg0 = scene.config
+    ranks = [0, cfg0.num_eigenvectors - 1]
+
+    def contrasts(cfg):
+        plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+        state = init_state(cfg, key=jax.random.key(0))
+        fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+        rng = np.random.default_rng(4)
+        outs = []
+        for _ in range(10):
+            state, out = fn(
+                state,
+                jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+                jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+            )
+            outs.append(np.asarray(out.out_a))
+        res = {}
+        for r in ranks:
+            feeds = np.concatenate([o[r] for o in outs[5:]], axis=0)
+            res[r] = float(
+                acoustic_contrast_db(
+                    predict_pressure(
+                        jnp.asarray(feeds), jnp.asarray(scene.rir_a)
+                    ),
+                    predict_pressure(
+                        jnp.asarray(feeds), jnp.asarray(scene.rir_b)
+                    ),
+                )
+            )
+        return res
+
+    exact = contrasts(dataclasses.replace(cfg0, gevd_solver=GevdSolver.EIGH))
+    prod = contrasts(
+        dataclasses.replace(
+            cfg0,
+            gevd_solver=GevdSolver.SUBSPACE,
+            subspace_oversample=10,
+            subspace_iters=2,
+            small_eigh="jacobi",
+            jacobi_sweeps=3,
+        )
+    )
+    for r in ranks:
+        assert abs(exact[r] - prod[r]) < 0.25, (r, exact, prod)

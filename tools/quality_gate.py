@@ -60,14 +60,23 @@ def main():
     cfg = scene.config
     ranks = [0, cfg.num_eigenvectors - 1]
 
-    exact = contrasts(cfg, scene.rir_a, scene.rir_b, hops, ranks)
+    # Exact solver, but with the Pallas data path kept ON so the only
+    # difference vs production is the solver itself (and so the exact run
+    # avoids the XLA frames gather, which the axon tunnel rejects at this
+    # scale).
+    exact_cfg = dataclasses.replace(
+        cfg,
+        gevd_solver=GevdSolver.EIGH,
+        use_pallas_statistics=True,
+    )
+    exact = contrasts(exact_cfg, scene.rir_a, scene.rir_b, hops, ranks)
     print(f"exact eigh: rank1 {exact[ranks[0]]:.3f} dB, "
           f"rank{ranks[1]+1} {exact[ranks[1]]:.3f} dB", flush=True)
 
     prod_cfg = dataclasses.replace(
         cfg,
         gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=6,
+        subspace_oversample=10,
         subspace_iters=2,
         use_pallas_statistics=True,
         use_pallas_output=True,
