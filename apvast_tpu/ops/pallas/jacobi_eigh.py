@@ -83,7 +83,6 @@ def _kernel(a_ref, src_ref, w_ref, v_ref, *, bz, n, sweeps):
     upper_pair = jnp.logical_and(cols == rows + 1, rows % 2 == 0).astype(
         jnp.float32
     )
-    shift = (cols == rows + 1).astype(jnp.float32)  # Sh @ x == x shifted up
     even_col = (
         jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1) % 2 == 0
     ).astype(jnp.float32)
@@ -107,11 +106,19 @@ def _kernel(a_ref, src_ref, w_ref, v_ref, *, bz, n, sweeps):
         preferred_element_type=jnp.float32, precision=hi,
     )
 
+    def roll_up(x):
+        # x[r+1] at position r (sublane axis). Wrapped entries land on
+        # odd slots whose values are masked out downstream.
+        return pltpu.roll(x, n - 1, 1)  # circular -1 (shift must be >= 0)
+
+    def roll_down(x):
+        return pltpu.roll(x, 1, 1)
+
     def round_body(a, v):
         # All pair quantities batched over the pencil axis: (bz, n, 1).
         diag = jnp.sum(a * eye_m, axis=2, keepdims=True)
         apq = jnp.sum(a * upper_pair, axis=2, keepdims=True)
-        aqq = bdot(jnp.broadcast_to(shift, (bz, n, n)), diag)
+        aqq = roll_up(diag)
         theta = aqq - diag
         sg = jnp.where(theta >= 0, 1.0, -1.0)
         # Guard must stay in the NORMAL float32 range: a subnormal (e.g.
@@ -125,10 +132,11 @@ def _kernel(a_ref, src_ref, w_ref, v_ref, *, bz, n, sweeps):
         s = t * c
         s_e = s * even_col
         c_e = c * even_col
-        # Interleave pair values onto both slots: x2 = x_e + Sh^T x_e.
-        shb = jnp.broadcast_to(shift, (bz, n, n))
-        s2 = s_e + bdot_t(shb, s_e)
-        c2 = c_e + bdot_t(shb, c_e)
+        # Interleave pair values onto both slots (sublane roll instead of
+        # a shift-matrix matmul: rolled-in garbage is zero because odd
+        # slots of s_e/c_e are masked).
+        s2 = s_e + roll_down(s_e)
+        c2 = c_e + roll_down(c_e)
         m_mat = perm_d * c2 + perm_u * s2 - perm_l * s2  # (bz, n, n)
         am = bdot(a, m_mat)
         a_new = bdot_t(m_mat, am)

@@ -6,6 +6,13 @@ overlap-save FFT batch). The RIRs are finite (taps ~ 800), so the H
 valid outputs are exactly a (rows, taps) x (taps, H) matmul against the
 segment's sliding windows — built once per signal in VMEM and contracted
 on the MXU, replacing the FFT round trip.
+
+The kernel grid is (signals, row_blocks): each step DMAs only its own
+kernel row block, and the sliding-window matrix is (re)built in scratch
+once per signal (first row block). Blocking matters: the full kernel
+stack of a 16-speaker scene is ~11 MB and the windows ~8 MB — loading
+everything at once exceeds the 16 MB VMEM budget (observed as a
+compile-time scoped-vmem OOM on the north-star scene).
 """
 
 from __future__ import annotations
@@ -20,18 +27,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(seg_ref, kern_ref, out_ref, windows, *, taps, hop, hist):
     zi = pl.program_id(0)
+    rb = pl.program_id(1)
+
     # Window row k holds segment[hist - k : hist - k + hop], so
     # out[r, h] = sum_k kernel[r, k] * segment[hist + h - k] — the valid
     # streaming-convolution outputs aligned with the new hop samples.
-    for k in range(taps):
-        start = hist - k
-        windows[k, :] = seg_ref[zi, start : start + hop]
+    # Built once per signal (the row-block axis iterates fastest).
+    @pl.when(rb == 0)
+    def _():
+        for k in range(taps):
+            start = hist - k
+            windows[k, :] = seg_ref[zi, start : start + hop]
+
     out_ref[0] = jax.lax.dot_general(
-        kern_ref[zi],
+        kern_ref[0],
         windows[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+
 
 
 def streaming_conv_pallas(
@@ -58,22 +74,32 @@ def streaming_conv_pallas(
     hist = seg_len - hop
     if hist < taps - 1:
         raise ValueError("segment history shorter than taps - 1")
-
-    return pl.pallas_call(
+    # Row blocks of 192 (divisible by 8, ~1.8 MB of taps each at 2400
+    # taps); rows padded up with zero kernels and sliced off the output.
+    rows_b = min(192, -(-rows // 8) * 8)
+    nb = -(-rows // rows_b)
+    pad = nb * rows_b - rows
+    if pad:
+        kernels = jnp.pad(kernels, ((0, 0), (0, pad), (0, 0)))
+    out = pl.pallas_call(
         functools.partial(_kernel, taps=taps, hop=hop, hist=hist),
-        grid=(z,),
+        grid=(z, nb),
         in_specs=[
             pl.BlockSpec(
-                (z, seg_len), lambda zi: (0, 0), memory_space=pltpu.VMEM
+                (z, seg_len), lambda zi, rb: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (z, rows, taps), lambda zi: (0, 0, 0), memory_space=pltpu.VMEM
+                (1, rows_b, taps),
+                lambda zi, rb: (zi, rb, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, rows, hop), lambda zi: (zi, 0, 0), memory_space=pltpu.VMEM
+            (1, rows_b, hop),
+            lambda zi, rb: (zi, rb, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((z, rows, hop), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((z, nb * rows_b, hop), jnp.float32),
         scratch_shapes=[pltpu.VMEM((taps, hop), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -82,3 +108,4 @@ def streaming_conv_pallas(
             transcendentals=0,
         ),
     )(segments, kernels)
+    return out[:, :rows] if pad else out
