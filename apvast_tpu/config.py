@@ -225,6 +225,11 @@ class ApVastConfig:
     # near-diagonal in steady state, so a low count converges (cold
     # start needs ~8-10 at k = 56 — covered by the stream warmup).
     jacobi_sweeps: int = 4
+    # Run the whitened power steps + CholeskyQR2 + Rayleigh-Ritz
+    # projection as ONE fused Pallas kernel (ops/pallas/subspace) —
+    # float32 production only; requires subspace_whiten='invert',
+    # subspace_orth='cholqr2' and subspace_rank % 8 == 0.
+    use_pallas_subspace: bool = False
     # Use the fused Pallas framing+covariance kernel for the statistics
     # (float32 only; frames never materialized, cross-correlation vector
     # via FFT). Falls back to interpret mode off-TPU.

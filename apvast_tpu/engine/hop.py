@@ -342,6 +342,7 @@ def process_hop(
             config.small_eigh,
             config.jacobi_sweeps,
             interpret=(jax.default_backend() == "cpu"),
+            fused_iteration=config.use_pallas_subspace,
         )  # (2, jl, v), (2, v), (2, jl, k), int32
     else:
         u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)

@@ -215,6 +215,7 @@ def jdiag_topk_batched(
     small_eigh: str = "lapack",
     jacobi_sweeps: int = 4,
     interpret: bool = False,
+    fused_iteration: bool = False,
 ):
     """Batched :func:`jdiag_topk` over a leading pencil axis.
 
@@ -224,12 +225,33 @@ def jdiag_topk_batched(
     kernel (ops/pallas/jacobi_eigh) — the eigh custom call is
     latency-bound at this size and dominates the production solver.
 
+    ``fused_iteration`` runs the whitened power steps + CholeskyQR2 +
+    Rayleigh-Ritz projection as ONE Pallas kernel
+    (ops/pallas/subspace) — requires whiten='invert', orth='cholqr2'
+    and a subspace width that is a multiple of 8.
+
     Returns ``(u, d, q, silenced)``; ``silenced`` is the total count of
     non-finite solver outputs zeroed by the guards (0 = healthy).
     """
-    small, q, wmat = jax.vmap(
-        _topk_project, in_axes=(0, 0, None, None, 0, None, None)
-    )(A, B, reg, iters, q_init, orth, whiten)
+    if fused_iteration:
+        if whiten != "invert" or orth != "cholqr2":
+            raise ValueError(
+                "fused_iteration requires whiten='invert', orth='cholqr2'"
+            )
+        from apvast_tpu.ops.pallas.subspace import subspace_iterate_pallas
+        from apvast_tpu.ops.trisolve import triangular_inverse
+
+        n = A.shape[-1]
+        eye = jnp.eye(n, dtype=A.dtype)
+        chol = jnp.linalg.cholesky(B + reg * eye)
+        wmat = triangular_inverse(chol)
+        q, small = subspace_iterate_pallas(
+            A, wmat, q_init, iters, interpret=interpret
+        )
+    else:
+        small, q, wmat = jax.vmap(
+            _topk_project, in_axes=(0, 0, None, None, 0, None, None)
+        )(A, B, reg, iters, q_init, orth, whiten)
     if small_eigh == "jacobi":
         from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh
 

@@ -27,11 +27,12 @@ def _kernel(ext_ref, filt_ref, out_ref, windows, *, taps, block):
     # Window row t holds extended_input[J-1-t : J-1-t+N], i.e.
     # x[(n - t) mod N] along n — so out = W @ windows is the circular
     # convolution of the input block with each J-tap filter row.
+    # (Refilled per row block — J rows, negligible next to the matmul.)
     for t in range(taps):
         start = taps - 1 - t
         windows[t, :] = ext_ref[zi, start : start + block]
     out_ref[0] = jax.lax.dot_general(
-        filt_ref[zi],
+        filt_ref[0],
         windows[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -62,25 +63,41 @@ def circular_filter_pallas(
         [windowed_input[:, block - (taps - 1) :], windowed_input], axis=-1
     )  # (z, block + taps - 1)
 
-    return pl.pallas_call(
+    # Row blocks keep the resident output tile bounded (a 32-speaker
+    # scene's full (1600, 1600) tile would blow the VMEM budget); rows
+    # padded up with zero filter rows and sliced off the output.
+    if rows * block * 4 * 2 <= 11 * 1024 * 1024:
+        rows_b = rows  # single resident tile (double-buffered) fits
+    else:
+        rows_b = min(512, -(-rows // 8) * 8)
+    nb = -(-rows // rows_b)
+    pad = nb * rows_b - rows
+    if pad:
+        filters = jnp.pad(filters, ((0, 0), (0, pad), (0, 0)))
+
+    out = pl.pallas_call(
         functools.partial(_kernel, taps=taps, block=block),
-        grid=(z,),
+        grid=(z, nb),
         in_specs=[
             # Whole-array blocks (Mosaic's trailing-dim alignment rule);
             # the zone row is selected inside the kernel via program_id.
             pl.BlockSpec(
                 (z, block + taps - 1),
-                lambda zi: (0, 0),
+                lambda zi, rb: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (z, rows, taps), lambda zi: (0, 0, 0), memory_space=pltpu.VMEM
+                (1, rows_b, taps),
+                lambda zi, rb: (zi, rb, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, rows, block), lambda zi: (zi, 0, 0), memory_space=pltpu.VMEM
+            (1, rows_b, block),
+            lambda zi, rb: (zi, rb, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((z, rows, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((z, nb * rows_b, block), jnp.float32),
         scratch_shapes=[pltpu.VMEM((taps, block), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -89,3 +106,4 @@ def circular_filter_pallas(
             transcendentals=0,
         ),
     )(ext, filters)
+    return out[:, :rows] if pad else out

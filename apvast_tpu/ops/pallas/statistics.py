@@ -99,12 +99,129 @@ def _kernel(
         out_r_ref[0] = out_r_ref[0] + r_tile
 
 
+def _panel_kernel(
+    buf_ref, d_ref, out_ref, out_r_ref, windows, *, num_srcs, frame_length,
+    num_frames, bs, panel,
+):
+    """Large-SJ variant: ONE row panel of R per call (rows
+    [panel*bs, (panel+1)*bs) against all columns 0..(panel+1)*bs) — the
+    block-lower-triangular part only; the caller assembles + mirrors.
+    Grid (paths, mics), mic accumulation innermost, everything static
+    (predicated per-pair dispatch measured as if all branches execute)."""
+    j, k = frame_length, num_frames
+    m = pl.program_id(1)
+    rows_hi = (panel + 1) * bs
+
+    # Fill window rows [0, (panel+1)*bs): static source row + lane offset.
+    for r in range(rows_hi):
+        sv = r // j
+        start = j - 1 - (r % j)
+        windows[r, :] = buf_ref[0, 0, sv, start : start + k]
+
+    tile = jax.lax.dot_general(
+        windows[panel * bs : rows_hi, :],
+        windows[0:rows_hi, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bs, rows_hi)
+    r_tile = jax.lax.dot_general(
+        windows[panel * bs : rows_hi, :],
+        d_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bs, 2)
+
+    @pl.when(m == 0)
+    def _():
+        out_ref[0] = tile
+        out_r_ref[0] = r_tile
+
+    @pl.when(m > 0)
+    def _():
+        out_ref[0] = out_ref[0] + tile
+        out_r_ref[0] = out_r_ref[0] + r_tile
+
+
+def _covariance_pallas_panels(buffers, targets, frame_length, interpret, nb):
+    """Large-SJ covariance: nb pallas calls, one block-row panel each.
+    Returns the same (r_mats, r_cross) as the resident-tile path."""
+    p, m, s, n = buffers.shape
+    j = frame_length
+    k = n - j + 1
+    sj = s * j
+    bs = sj // nb
+    d_by_mic = targets.transpose(1, 0, 2)
+
+    panels = []
+    r_parts = []
+    for panel in range(nb):
+        rows_hi = (panel + 1) * bs
+        kernel = functools.partial(
+            _panel_kernel, num_srcs=s, frame_length=j, num_frames=k, bs=bs,
+            panel=panel,
+        )
+        tile, r_tile = pl.pallas_call(
+            kernel,
+            grid=(p, m),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, s, n),
+                    lambda pi, mi: (pi, mi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2, k),
+                    lambda pi, mi: (mi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, bs, rows_hi),
+                    lambda pi, mi: (pi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bs, 2),
+                    lambda pi, mi: (pi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[pltpu.VMEM((rows_hi, k), jnp.float32)],
+            out_shape=(
+                jax.ShapeDtypeStruct((p, bs, rows_hi), jnp.float32),
+                jax.ShapeDtypeStruct((p, bs, 2), jnp.float32),
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * p * m * bs * (rows_hi + 2) * k,
+                bytes_accessed=p * m * s * n * 4 + p * bs * rows_hi * 4,
+                transcendentals=0,
+            ),
+        )(buffers, d_by_mic)
+        panels.append(tile)
+        r_parts.append(r_tile)
+
+    # Assemble the lower-triangular rows, mirror the strict upper part.
+    low = jnp.concatenate(
+        [
+            jnp.pad(panels[i], ((0, 0), (0, 0), (0, sj - (i + 1) * bs)))
+            for i in range(nb)
+        ],
+        axis=1,
+    )  # (p, sj, sj), upper part zero
+    low = jnp.tril(low)
+    r_mats = low + jnp.triu(low.transpose(0, 2, 1), 1)
+    r_cross = jnp.concatenate(r_parts, axis=1)  # (p, sj, 2)
+    return r_mats, r_cross
+
+
 def covariance_pallas(
     buffers: jax.Array,
     targets: jax.Array,
     frame_length: int,
     interpret: bool = False,
-    sym_blocks: int = 4,
+    sym_blocks: int = 8,
 ):
     """R[p] = sum_m Y_pm Y_pm^T and r[p, :, z] = sum_m Y_pm d_zm.
 
@@ -130,7 +247,22 @@ def covariance_pallas(
     j = frame_length
     k = n - j + 1
     grid = (p, m)
-    mirrored = sym_blocks > 1 and (s * j) % sym_blocks == 0
+    sj = s * j
+    # The resident-tile path needs the full (SJ, SJ) output + (SJ, K)
+    # windows in VMEM (double-buffered); beyond ~1000 rows that exceeds
+    # the 16 MB budget — switch to the block-pair split kernel. The split
+    # needs bs % J == 0 (static lane offsets), i.e. nb must divide the
+    # source count.
+    if sj * sj * 4 + sj * k * 4 > 8 * 1024 * 1024 and s % 2 == 0:
+        nb = 2
+        while (sj // nb) * max(sj // nb, k) * 4 > 3 * 1024 * 1024 and (
+            s % (2 * nb) == 0
+        ):
+            nb *= 2
+        return _covariance_pallas_panels(
+            buffers, targets, frame_length, interpret, nb
+        )
+    mirrored = sym_blocks > 1 and sj % sym_blocks == 0
 
     buf_spec = pl.BlockSpec(
         (1, 1, s, n),

@@ -45,7 +45,7 @@ def _production_overrides(device: str) -> dict:
         # tests/test_subspace_solver.py) + fused Pallas kernels + the
         # Pallas cyclic-Jacobi Rayleigh-Ritz eigensolver.
         gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=10,
+        subspace_oversample=14,
         subspace_iters=2,
         use_pallas_statistics=(device == "tpu"),
         use_pallas_output=(device == "tpu"),
@@ -56,7 +56,7 @@ def _production_overrides(device: str) -> dict:
     )
 
 
-def _sustained_rtf(cfg, plan, state, num_hops, reps=3):
+def _sustained_rtf(cfg, plan, state, num_hops, reps=5):
     import jax
     import jax.numpy as jnp
     import numpy as np

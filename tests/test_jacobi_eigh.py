@@ -197,3 +197,67 @@ def test_north_star_production_solver_quality():
     )
     for r in ranks:
         assert abs(exact[r] - prod[r]) < 0.25, (r, exact, prod)
+
+
+def test_fused_subspace_matches_unfused(rng):
+    """The fused Pallas subspace kernel reproduces the XLA-op path
+    (same whitening, same CholeskyQR2, same Rayleigh-Ritz) on a PSD
+    pencil batch."""
+    n, k, top = 96, 32, 10
+    xa = rng.standard_normal((2, n, n + 8))
+    xb = rng.standard_normal((2, n, n + 8))
+    a = jnp.asarray(xa @ np.swapaxes(xa, 1, 2), jnp.float32)
+    b = jnp.asarray(
+        xb @ np.swapaxes(xb, 1, 2) + 10 * np.eye(n), jnp.float32
+    )
+    q0 = jnp.asarray(rng.standard_normal((2, n, k)), jnp.float32)
+    u1, d1, _, _ = jdiag_topk_batched(
+        a, b, 1e-7, top, 30, q0, "cholqr2", "invert", "lapack"
+    )
+    u2, d2, _, sil = jdiag_topk_batched(
+        a, b, 1e-7, top, 30, q0, "cholqr2", "invert", "lapack",
+        interpret=True, fused_iteration=True,
+    )
+    assert int(sil) == 0
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-3, atol=1e-5
+    )
+    for z in range(2):
+        p1, _ = np.linalg.qr(np.asarray(u1[z], np.float64))
+        p2, _ = np.linalg.qr(np.asarray(u2[z], np.float64))
+        assert np.max(np.abs(p1 @ p1.T - p2 @ p2.T)) < 5e-3
+
+
+def test_engine_fused_subspace_matches(small_scene):
+    """Full engine with use_pallas_subspace: outputs match the unfused
+    float32 production path."""
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+
+    cfg0, rir_a, rir_b = small_scene
+    outs = {}
+    for fused in (False, True):
+        cfg = dataclasses.replace(
+            cfg0,
+            dtype="float32",
+            gevd_solver=GevdSolver.SUBSPACE,
+            subspace_iters=8,
+            subspace_oversample=10,  # V=6 + 10 = 16, multiple of 8
+            small_eigh="jacobi",
+            jacobi_sweeps=10,
+            use_pallas_subspace=fused,
+        )
+        plan = build_plan(cfg, rir_a, rir_b)
+        state = init_state(cfg, key=jax.random.key(0))
+        fn = jax.jit(lambda s, x, y: process_hop(cfg, plan, s, x, y))
+        rng = np.random.default_rng(7)
+        acc = []
+        for _ in range(6):
+            state, out = fn(
+                state,
+                jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+                jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
+            )
+            acc.append(np.asarray(out.out_a))
+        outs[fused] = np.stack(acc)
+    scale = np.max(np.abs(outs[False])) + 1e-12
+    assert np.max(np.abs(outs[False] - outs[True])) / scale < 5e-3

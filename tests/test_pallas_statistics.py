@@ -49,3 +49,34 @@ def test_symmetry(rng):
     r, _ = covariance_pallas(buf, tgt, 5, interpret=True)
     r = np.asarray(r)
     np.testing.assert_allclose(r[0], r[0].T, rtol=1e-5, atol=1e-5)
+
+
+def test_covariance_split_matches_resident(rng):
+    """The block-pair split kernel (large-SJ path) produces the same
+    covariance and cross-correlation as the resident-tile kernel."""
+    from apvast_tpu.ops.pallas.statistics import (
+        _covariance_pallas_panels,
+        covariance_pallas,
+    )
+
+    p, m, s, n, j = 4, 3, 4, 96, 8  # sj = 32, bs % j == 0 for nb in {2,4}
+    buffers = jnp.asarray(
+        rng.standard_normal((p, m, s, n)), jnp.float32
+    )
+    targets = jnp.asarray(
+        rng.standard_normal((2, m, n - j + 1)), jnp.float32
+    )
+    r_ref, c_ref = covariance_pallas(buffers, targets, j, interpret=True)
+    for nb in (2, 4):
+        r_spl, c_spl = _covariance_pallas_panels(
+            buffers, targets, j, True, nb
+        )
+        # Different dot shapes split the f32 accumulation differently;
+        # agreement is at float32 rounding level relative to the scale.
+        scale = float(np.max(np.abs(np.asarray(r_ref))))
+        np.testing.assert_allclose(
+            np.asarray(r_spl), np.asarray(r_ref), atol=1e-6 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_spl), np.asarray(c_ref), atol=1e-6 * scale
+        )

@@ -61,7 +61,7 @@ def main():
     scene = scale_scene(
         nsrc,
         gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=10,
+        subspace_oversample=14,
         subspace_iters=2,
         use_pallas_statistics=True,
         use_pallas_output=True,

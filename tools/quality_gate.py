@@ -76,7 +76,7 @@ def main():
     prod_cfg = dataclasses.replace(
         cfg,
         gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=10,
+        subspace_oversample=14,
         subspace_iters=2,
         use_pallas_statistics=True,
         use_pallas_output=True,
