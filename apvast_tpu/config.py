@@ -198,7 +198,11 @@ class ApVastConfig:
     threshold_method: ThresholdMethod = ThresholdMethod.ISO226_2003
     # Perceptual front-end parameterization (see PerceptualFrontend); the
     # taps count only applies to the LIBDETECTABILITY variant
-    # (Python/apvast.py:79 passes taps=32).
+    # (Python/apvast.py:79 passes taps=32). NOTE: LIBDETECTABILITY
+    # faithfully reproduces the package's semantics, so it IGNORES
+    # ``threshold_method`` and ``pressure_scale_db_spl`` — the package
+    # hardwires the Terhardt/Painter-2000 threshold referenced to the
+    # curve minimum (relax_threshold=True, Python/apvast.py:80-83).
     perceptual_frontend: PerceptualFrontend = PerceptualFrontend.MATLAB_MODEL
     perceptual_taps: int = 32
     # GEVD solver selection (see GevdSolver).

@@ -328,6 +328,14 @@ def process_hop(
 
     gevd_q = state.gevd_q
     if config.gevd_solver is GevdSolver.SUBSPACE:
+        if dtype != jnp.float32 and (
+            config.small_eigh == "jacobi" or config.use_pallas_subspace
+        ):
+            raise ValueError(
+                "small_eigh='jacobi' and use_pallas_subspace are float32 "
+                "kernels — they would silently degrade a float64 parity "
+                "config to float32 precision"
+            )
         # Warm-started blocked subspace iteration for the top eigenpairs
         # (ops/jdiag.jdiag_topk) — MXU matmuls instead of a dense eigh.
         u, lam, gevd_q, silenced = jdiag_topk_batched(

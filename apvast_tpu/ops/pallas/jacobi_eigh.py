@@ -169,9 +169,7 @@ def jacobi_eigh(
     n = a.shape[-1]
     a2 = a.reshape((-1,) + a.shape[-2:]).astype(jnp.float32)
     bz = a2.shape[0]
-    npad = max(8, -(-n // 8) * 8)
-    if npad % 2:
-        npad += 1
+    npad = max(8, -(-n // 8) * 8)  # multiple of 8, hence even
     if npad != n:
         a2 = jnp.pad(a2, ((0, 0), (0, npad - n), (0, npad - n)))
     src = jnp.asarray(tournament_schedule(npad), jnp.int32).reshape(1, npad)

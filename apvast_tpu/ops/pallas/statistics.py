@@ -100,7 +100,7 @@ def _kernel(
 
 
 def _panel_kernel(
-    buf_ref, d_ref, out_ref, out_r_ref, windows, *, num_srcs, frame_length,
+    buf_ref, d_ref, out_ref, out_r_ref, windows, *, frame_length,
     num_frames, bs, panel,
 ):
     """Large-SJ variant: ONE row panel of R per call (rows
@@ -157,8 +157,7 @@ def _covariance_pallas_panels(buffers, targets, frame_length, interpret, nb):
     for panel in range(nb):
         rows_hi = (panel + 1) * bs
         kernel = functools.partial(
-            _panel_kernel, num_srcs=s, frame_length=j, num_frames=k, bs=bs,
-            panel=panel,
+            _panel_kernel, frame_length=j, num_frames=k, bs=bs, panel=panel
         )
         tile, r_tile = pl.pallas_call(
             kernel,
@@ -250,15 +249,21 @@ def covariance_pallas(
     sj = s * j
     # The resident-tile path needs the full (SJ, SJ) output + (SJ, K)
     # windows in VMEM (double-buffered); beyond ~1000 rows that exceeds
-    # the 16 MB budget — switch to the block-pair split kernel. The split
-    # needs bs % J == 0 (static lane offsets), i.e. nb must divide the
-    # source count.
-    if sj * sj * 4 + sj * k * 4 > 8 * 1024 * 1024 and s % 2 == 0:
-        nb = 2
-        while (sj // nb) * max(sj // nb, k) * 4 > 3 * 1024 * 1024 and (
-            s % (2 * nb) == 0
-        ):
-            nb *= 2
+    # the 16 MB budget — switch to the panel kernel (any nb dividing SJ
+    # works; the fills are fully static).
+    if sj * sj * 4 + sj * k * 4 > 8 * 1024 * 1024:
+        if sj * k * 4 > 12 * 1024 * 1024:
+            raise NotImplementedError(
+                f"covariance windows ({sj} x {k} f32) exceed the VMEM "
+                "budget even panel-split; reduce filter_length/sources "
+                "or use the XLA statistics path"
+            )
+        nb = next(
+            d
+            for d in range(2, sj + 1)
+            if sj % d == 0
+            and (sj // d) * sj * 4 * 2 <= 6 * 1024 * 1024
+        )
         return _covariance_pallas_panels(
             buffers, targets, frame_length, interpret, nb
         )

@@ -136,6 +136,8 @@ def main():
         return jdiag_topk_batched(
             a, b, cfg.reg_b, cfg.num_eigenvectors, cfg.subspace_iters,
             q, cfg.subspace_orth, cfg.subspace_whiten,
+            cfg.small_eigh, cfg.jacobi_sweeps,
+            fused_iteration=cfg.use_pallas_subspace,
         )
 
     timeit("5 GEVD subspace solver", jax.jit(stage5), a_stack, b_stack, state1.gevd_q)

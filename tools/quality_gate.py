@@ -88,11 +88,18 @@ def main():
     prod = contrasts(prod_cfg, scene.rir_a, scene.rir_b, hops, ranks)
     print(f"production: rank1 {prod[ranks[0]]:.3f} dB, "
           f"rank{ranks[1]+1} {prod[ranks[1]]:.3f} dB", flush=True)
+    ok = True
     for r in ranks:
         delta = abs(exact[r] - prod[r])
-        status = "OK" if delta < 0.25 else "FAIL"
-        print(f"rank {r+1}: delta {delta:.4f} dB [{status}]", flush=True)
+        passed = delta < 0.25
+        ok = ok and passed
+        print(
+            f"rank {r+1}: delta {delta:.4f} dB "
+            f"[{'OK' if passed else 'FAIL'}]",
+            flush=True,
+        )
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
