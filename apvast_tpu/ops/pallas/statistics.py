@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     buf_ref, d_ref, out_ref, out_r_ref, windows, *, num_srcs, frame_length,
-    num_frames, sym_blocks,
+    num_frames, sym, pad_rows,
 ):
     s, j, k = num_srcs, frame_length, num_frames
     m = pl.program_id(1)
@@ -47,35 +47,51 @@ def _kernel(
             windows[sv * j + i, :] = buf_ref[0, 0, sv, start : start + k]
 
     sj = s * j
-    if sym_blocks > 1 and sj % sym_blocks == 0:
+    if pad_rows > sj:
+        windows[sj:pad_rows, :] = jnp.zeros((pad_rows - sj, k), jnp.float32)
+    if sym:
         # R is symmetric: contract only the block-lower-triangular tile
-        # pairs (sym_blocks row blocks -> (nb+1)/(2nb) of the full-GEMM
-        # FLOPs; the caller mirrors the strict upper triangle afterwards).
-        # Same products in the same accumulation order as the full dot,
-        # so the kept triangle is numerically identical.
-        bs = sj // sym_blocks
-        rows = []
-        for bi in range(sym_blocks):
+        # pairs and mirror the strict upper blocks by tile transposes.
+        # 128-row blocks on the 128-padded window rows align exactly with
+        # the MXU tile grid — a divisor-of-SJ blocking (e.g. 200-row
+        # blocks at SJ=800) pads every tile pair to 256x256 and wastes
+        # the FLOPs the symmetry saved. Products and accumulation order
+        # match the full dot, so the kept triangle is numerically
+        # identical.
+        bs = 128
+        nb = pad_rows // bs
+        blocks = {}
+        for bi in range(nb):
             wi = windows[bi * bs : (bi + 1) * bs, :]
-            row = [
-                jax.lax.dot_general(
+            for bj in range(bi + 1):
+                blocks[(bi, bj)] = jax.lax.dot_general(
                     wi,
                     windows[bj * bs : (bj + 1) * bs, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                for bj in range(bi + 1)
-            ]
-            if bi + 1 < sym_blocks:
-                row.append(
-                    jnp.zeros((bs, (sym_blocks - bi - 1) * bs), jnp.float32)
+        # Mirror the strict upper blocks in-kernel (tile transposes are
+        # cheap next to an XLA-side tril/transpose/select pass over the
+        # full matrix).
+        tile = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        blocks[(bi, bj)]
+                        if bj <= bi
+                        else jnp.swapaxes(blocks[(bj, bi)], 0, 1)
+                        for bj in range(nb)
+                    ],
+                    axis=1,
                 )
-            rows.append(jnp.concatenate(row, axis=1))
-        tile = jnp.concatenate(rows, axis=0)
+                for bi in range(nb)
+            ],
+            axis=0,
+        )
     else:
         tile = jax.lax.dot_general(
-            windows[:],
-            windows[:],
+            windows[0:sj, :],
+            windows[0:sj, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -230,11 +246,12 @@ def covariance_pallas(
         targets: (2, mics, k) float32 aligned weighted-target windows
             (k = n - frame_length + 1).
         frame_length: J.
-        sym_blocks: row-block count for the symmetric (block-triangular)
-            contraction — only the lower tile pairs are multiplied and the
-            strict upper triangle is mirrored afterwards, saving up to
-            half the MXU work with bit-identical results. 1 disables
-            (also auto-disabled when srcs*J is not divisible).
+        sym_blocks: any value > 1 enables the symmetric (block-lower-
+            triangular) contraction: window rows are zero-padded to a
+            multiple of 128 and contracted in MXU-aligned 128-row tile
+            pairs, the strict upper triangle mirrored afterwards —
+            bit-identical results at ~57% of the full-GEMM MXU work.
+            1 disables (full dot).
 
     Returns:
         (r_mats, r_cross): (paths, srcs*J, srcs*J) covariance matrices in
@@ -267,7 +284,8 @@ def covariance_pallas(
         return _covariance_pallas_panels(
             buffers, targets, frame_length, interpret, nb
         )
-    mirrored = sym_blocks > 1 and sj % sym_blocks == 0
+    sym = sym_blocks > 1
+    pad_rows = -(-sj // 128) * 128 if sym else sj
 
     buf_spec = pl.BlockSpec(
         (1, 1, s, n),
@@ -281,16 +299,16 @@ def covariance_pallas(
         (1, 2, k), lambda pi, mi: (mi, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, s * j, s * j),
+        (1, pad_rows, pad_rows),
         lambda pi, mi: (pi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_r_spec = pl.BlockSpec(
-        (1, s * j, 2), lambda pi, mi: (pi, 0, 0), memory_space=pltpu.VMEM
+        (1, pad_rows, 2), lambda pi, mi: (pi, 0, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _kernel, num_srcs=s, frame_length=j, num_frames=k,
-        sym_blocks=sym_blocks,
+        _kernel, num_srcs=s, frame_length=j, num_frames=k, sym=sym,
+        pad_rows=pad_rows,
     )
     r_mats, r_cross = pl.pallas_call(
         kernel,
@@ -298,10 +316,10 @@ def covariance_pallas(
         in_specs=[buf_spec, d_spec],
         out_specs=(out_spec, out_r_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((p, s * j, s * j), jnp.float32),
-            jax.ShapeDtypeStruct((p, s * j, 2), jnp.float32),
+            jax.ShapeDtypeStruct((p, pad_rows, pad_rows), jnp.float32),
+            jax.ShapeDtypeStruct((p, pad_rows, 2), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((s * j, k), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((pad_rows, k), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * p * m * (s * j) * (s * j + 2) * k,
@@ -309,7 +327,7 @@ def covariance_pallas(
             transcendentals=0,
         ),
     )(buffers, d_by_mic)
-    if mirrored:
-        low = jnp.tril(r_mats)
-        r_mats = low + jnp.triu(low.transpose(0, 2, 1), 1)
+    if pad_rows != sj:
+        r_mats = r_mats[:, :sj, :sj]
+        r_cross = r_cross[:, :sj]
     return r_mats, r_cross

@@ -178,7 +178,7 @@ def measure_north_star() -> int:
     ns = scale_scene(16, **_production_overrides("tpu"))
     ns_plan = build_plan(ns.config, ns.rir_a, ns.rir_b)
     ns_state = init_state(ns.config, key=jax.random.key(0))
-    ns_rtf, _ = _sustained_rtf(ns.config, ns_plan, ns_state, 128)
+    ns_rtf, _ = _sustained_rtf(ns.config, ns_plan, ns_state, 256, reps=6)
     print(json.dumps({"metric": "north_star_rtf", "value": round(ns_rtf, 3)}))
     return 0
 
