@@ -66,15 +66,16 @@ def _cholqr2(q: jax.Array) -> jax.Array:
 
     k = q.shape[-1]
     eye = jnp.eye(k, dtype=q.dtype)
+    hi = jax.lax.Precision.HIGH
     for _ in range(2):
-        gram = q.T @ q
+        gram = jnp.matmul(q.T, q, precision=hi)
         jitter = (jnp.trace(gram) / k) * 1e-6 + jnp.asarray(
             1e-30, dtype=q.dtype
         )
         chol = jnp.linalg.cholesky(gram + jitter * eye)
         # q <- q L^-T via the matmul-only small inverse (the triangular
         # solve is a latency-bound custom call at this size).
-        q = q @ neumann_tri_inverse(chol).T
+        q = jnp.matmul(q, neumann_tri_inverse(chol).T, precision=hi)
     return q
 
 
@@ -109,8 +110,17 @@ def _topk_project(
         chol = jnp.linalg.cholesky(B + reg * eye)
         li = triangular_inverse(chol)
 
+        hi = jax.lax.Precision.HIGH
+
         def apply_white(x):
-            return li @ (A @ (li.T @ x))
+            # Raised precision matters: the default single-pass
+            # bf16-internal MXU matmuls cost ~0.3 dB of rank-V contrast
+            # on TPU. HIGH (3-pass bf16 emulation, ~f32 accuracy) is
+            # enough and half the cost of HIGHEST on these tiny
+            # k-column matmuls.
+            y = jnp.matmul(li.T, x, precision=hi)
+            y = jnp.matmul(A, y, precision=hi)
+            return jnp.matmul(li, y, precision=hi)
 
         wmat = li
     else:
@@ -133,7 +143,9 @@ def _topk_project(
         return orthonormalize(apply_white(q)), None
 
     q, _ = jax.lax.scan(body, q_init, None, length=iters)
-    small = q.T @ apply_white(q)
+    small = jnp.matmul(
+        q.T, apply_white(q), precision=jax.lax.Precision.HIGHEST
+    )
     return 0.5 * (small + small.T), q, wmat
 
 
@@ -147,7 +159,10 @@ def _topk_extract(small_d, small_v, q, wmat, num_vectors, q_init, whiten):
     d = small_d[::-1][:num_vectors]
     ritz = (q @ small_v)[:, ::-1]
     if whiten == "invert":
-        u = wmat.T @ ritz[:, :num_vectors]
+        u = jnp.matmul(
+            wmat.T, ritz[:, :num_vectors],
+            precision=jax.lax.Precision.HIGHEST,
+        )
     else:
         u = solve_triangular(wmat.T, ritz[:, :num_vectors], lower=False)
     # Transient non-finites (degenerate warmup statistics in float32) must

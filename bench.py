@@ -104,6 +104,8 @@ def measure(device: str) -> int:
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache(jax)
+
     from apvast_tpu.config import ApVastConfig
     from apvast_tpu.engine import build_plan, init_state, process_hop
     from apvast_tpu.utils import load_reference_rirs
@@ -140,6 +142,10 @@ def measure(device: str) -> int:
         "vs_baseline": round(rtf / REFERENCE_RTF, 1),
         "device": device,
     }
+    # Print the headline immediately: if the parent's watchdog kills this
+    # child during the (expensive, recompiled) latency measurement below,
+    # the partial stdout still carries the measurement.
+    print(json.dumps(result), flush=True)
 
     # Honesty fields: per-single-hop-dispatch latency on the same scene.
     try:
@@ -149,7 +155,7 @@ def measure(device: str) -> int:
         fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
         st, out = fn(state, hop_a, hop_b)
         float(jnp.sum(jnp.abs(out.out_a)))
-        reps = 30
+        reps = 15
         t0 = time.time()
         for _ in range(reps):
             st, out = fn(st, hop_a, hop_b)
@@ -164,6 +170,19 @@ def measure(device: str) -> int:
     return 0
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent compilation cache: children recompile identical
+    programs every bench run; in the tunnel's slow phases a cold compile
+    can outlive the watchdog, and a child killed mid-compile can wedge
+    the tunnel for the NEXT child. Best-effort (ignored if the backend
+    doesn't support it)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def measure_north_star() -> int:
     """Child mode: north-star scene (BASELINE.json north star — 16
     loudspeakers, 48 kHz, perceptual ON) sustained RTF, as its own
@@ -171,6 +190,8 @@ def measure_north_star() -> int:
     measurement."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
+
+    _enable_compile_cache(jax)
 
     from apvast_tpu.engine import build_plan, init_state
     from apvast_tpu.utils.scenes import scale_scene
@@ -193,7 +214,18 @@ def _try_child(device: str, timeout: float) -> dict | None:
             timeout=timeout,
             env=env,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as exc:
+        # Children print partial results as they land — salvage them.
+        out = exc.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        for line in reversed(out.strip().splitlines()):
+            try:
+                data = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if "metric" in data:
+                return data
         return None
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
@@ -211,9 +243,9 @@ def main() -> int:
             return measure_north_star()
         return measure(sys.argv[2])
 
-    result = _try_child("tpu", timeout=420)
+    result = _try_child("tpu", timeout=900)
     if result is not None and result.get("device") == "tpu":
-        ns = _try_child("north-star", timeout=420)
+        ns = _try_child("north-star", timeout=600)
         if ns is not None and ns.get("metric") == "north_star_rtf":
             result["north_star_rtf"] = ns["value"]
         else:

@@ -60,14 +60,18 @@ def main():
     cfg = scene.config
     ranks = [0, cfg.num_eigenvectors - 1]
 
-    # Exact solver, but with the Pallas data path kept ON so the only
-    # difference vs production is the solver itself (and so the exact run
-    # avoids the XLA frames gather, which the axon tunnel rejects at this
-    # scale).
+    # Exact solver with the FULL Pallas/matmul-DFT data path: the only
+    # difference vs production is the solver itself — and the tunnel
+    # rejects the composed FFT-path graph with UNIMPLEMENTED, so the
+    # FFT-free data path is also what makes the exact engine runnable
+    # on TPU at all.
     exact_cfg = dataclasses.replace(
         cfg,
         gevd_solver=GevdSolver.EIGH,
         use_pallas_statistics=True,
+        use_pallas_conv=True,
+        use_pallas_output=True,
+        use_matmul_dft=True,
     )
     exact = contrasts(exact_cfg, scene.rir_a, scene.rir_b, hops, ranks)
     print(f"exact eigh: rank1 {exact[ranks[0]]:.3f} dB, "
