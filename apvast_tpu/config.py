@@ -203,6 +203,17 @@ class ApVastConfig:
     # ``threshold_method`` and ``pressure_scale_db_spl`` — the package
     # hardwires the Terhardt/Painter-2000 threshold referenced to the
     # curve minimum (relax_threshold=True, Python/apvast.py:80-83).
+    #
+    # DELIBERATE deviation from the defaults-follow-Python rule: the
+    # Python parity target's perceptual path IS libdetectability
+    # (Python/apvast.py:4), but that package is unavailable offline, so
+    # the LIBDETECTABILITY variant here is a reconstruction whose exact
+    # numerical equality with the package cannot be verified (survey §6);
+    # MATLAB_MODEL is the reference's own in-repo van de Par math,
+    # validated line for line against perceptualModel.m and the paper's
+    # Fig. 2b. The default is therefore the *verifiable* front-end; set
+    # perceptual_frontend=LIBDETECTABILITY for Python-reference
+    # parameterization semantics.
     perceptual_frontend: PerceptualFrontend = PerceptualFrontend.MATLAB_MODEL
     perceptual_taps: int = 32
     # GEVD solver selection (see GevdSolver).

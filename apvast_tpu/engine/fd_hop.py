@@ -1,4 +1,12 @@
-"""Frequency-domain (DFT-domain) AP-VAST — the TPU production mode.
+"""Frequency-domain (DFT-domain) AP-VAST — the low-cost operating mode.
+
+Positioning (PERF.md "FD-engine quality frontier"): the per-bin
+formulation has a STRUCTURAL contrast ceiling of ~15 dB (per-bin rank
+<= num_srcs + circular-convolution approximation); the time-domain
+engine remains the contrast product (25-31 dB). The FD engine's value
+is target fidelity (NMSE ~0.09 vs ~0.19 TD) at an S x S-eigh cost
+profile — use it where distortion, latency, or per-chip stream count
+dominates the contrast requirement.
 
 The time-domain engine solves one JL x JL generalized eigenproblem per
 zone per hop (JL = filter_length * srcs, e.g. 800) — the reference's

@@ -81,10 +81,19 @@ def _spectral_norm(mat: jax.Array) -> jax.Array:
     clustered top spectrum (plain power iteration's hard case) lands
     within ~1% of the exact ``norm(R)`` the reference uses; verified
     against ``np.linalg.norm(R, 2)`` in
-    tests/test_subspace_solver.py::test_spectral_norm_matches_exact."""
+    tests/test_subspace_solver.py::test_spectral_norm_matches_exact.
+
+    Normalizes between the two matvecs: an unnormalized R(Rv) has
+    entries ~lambda^2, whose float32 norm-of-squares overflows to inf
+    once ||R|| > ~1e9 (exactly the ill-scaled scenes the MATLAB loading
+    exists to stabilize), silently returning 0.0/NaN. The direction is
+    unchanged by the intermediate normalization, so the squared
+    convergence ratio is preserved."""
     v = jnp.ones((mat.shape[-1],), dtype=mat.dtype)
     def body(v, _):
-        w = mat @ (mat @ v)
+        w = mat @ v
+        w = w / (jnp.linalg.norm(w) + 1e-30)
+        w = mat @ w
         return w / (jnp.linalg.norm(w) + 1e-30), None
     v, _ = jax.lax.scan(body, v / jnp.linalg.norm(v), None, length=12)
     return jnp.abs(v @ (mat @ v))

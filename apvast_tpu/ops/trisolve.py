@@ -38,7 +38,10 @@ def neumann_tri_inverse(l: jax.Array, refine: int = 2) -> jax.Array:
     n = l.shape[-1]
     eye = jnp.eye(n, dtype=l.dtype)
     d = jnp.diagonal(l, axis1=-2, axis2=-1)  # (..., n)
-    dinv = 1.0 / d
+    # Exact-zero diagonal (semi-definite input) would give inf*0 = NaN in
+    # the M assembly below; guard like _tri_inverse_2d in
+    # ops/pallas/subspace.py so the result stays bounded instead.
+    dinv = 1.0 / jnp.where(d == 0, 1.0, d)
     m = eye - dinv[..., :, None] * l  # strictly lower, exact zeros on diag
     x = eye + m
     p = m

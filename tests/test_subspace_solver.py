@@ -213,3 +213,15 @@ def test_spectral_norm_matches_exact():
     want = np.linalg.norm((r + r.T) / 2, 2)
     # Within the cluster is fine for a loading constant (1% accuracy).
     assert abs(got - want) / want < 1e-2, (got, want)
+
+    # Large-scale float32: ||R|| ~ 5e10, so an unnormalized R(Rv) step
+    # would overflow float32 in its norm-of-squares (~lambda^4 > 3e38)
+    # and silently return 0.0 — the scenes the MATLAB loading exists to
+    # stabilize (ADVICE r2 medium). The between-matvec normalization
+    # must keep the estimate finite and accurate.
+    big = (5e10 * (q * lam) @ q.T).astype(np.float32)
+    big = (big + big.T) / 2
+    got = float(_spectral_norm(jnp.asarray(big)))
+    want = float(np.linalg.norm(big.astype(np.float64), 2))
+    assert np.isfinite(got) and got > 0
+    assert abs(got - want) / want < 1e-2, (got, want)

@@ -30,6 +30,7 @@ def contrasts(cfg, rir_a, rir_b, hops, ranks):
     fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
     rng = np.random.default_rng(4)
     outs = []
+    silenced = 0
     for _ in range(hops):
         state, out = fn(
             state,
@@ -37,6 +38,11 @@ def contrasts(cfg, rir_a, rir_b, hops, ranks):
             jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32),
         )
         outs.append(np.asarray(out.out_a))
+        silenced += int(out.silenced)
+    # Gate on the NaN-guard counter: a conditioning blowup zeroed into
+    # silence shrinks contrast on BOTH solvers symmetrically, so the
+    # contrast deltas alone would not catch it (VERDICT r2 weak #5).
+    assert silenced == 0, f"{silenced} solver outputs silenced by NaN guards"
     res = {}
     warm = hops // 2
     for r in ranks:
