@@ -1,26 +1,45 @@
 #!/usr/bin/env python
 """Headline benchmark: real-time factor of AP-VAST filter updates.
 
-Scene = the measured CPU baseline configuration (BASELINE.md): the bundled
-rirs.mat (800 taps x 8 loudspeakers x 9 mics), block 1600 / hop 800 @
-48 kHz, filter length 100 (JL = 800), statistics buffer 1000, V = 50,
-mu = 1 — the reference's `make_python_test.m` hyperparameters, measured at
-~2.2 s/hop (132x slower than real time) on the 1-core CPU reference.
+Scenes:
+  - north-star (measured FIRST — it is the BASELINE.json contract
+    number): 16 loudspeakers, 17 mics, JL=800, 48 kHz, perceptual ON,
+    target >= 10x real time on one v5e chip.
+  - bundled baseline: the measured CPU reference configuration
+    (BASELINE.md): rirs.mat (800 taps x 8 srcs x 9 mics), block 1600 /
+    hop 800 @ 48 kHz, JL=800, V=50 — ~2.2 s/hop (132x slower than real
+    time) on the 1-core reference.
 
 Runs the float32 production engine (subspace GEVD solver, validated
-contrast-exact vs the reference solver). Prints ONE JSON line whose
-headline value is the sustained streaming RTF on the baseline scene, with
-honesty fields (VERDICT round-1 weak #3):
+contrast-exact vs the reference solver by tools/quality_gate.py).
+Prints ONE JSON line whose headline value is the sustained streaming RTF
+on the baseline scene, with honesty fields:
+  - "value" is best-of-reps (the tunnel wall clock jitters ~15%);
+    "value_median" is the median rep — the robust statistic README/PERF
+    claims quote (ADVICE r2);
   - "dispatch_latency_ms"/"latency_rtf": per-single-hop-dispatch cost —
     the number that matters for a one-hop-in, one-hop-out live loop;
-  - "north_star_rtf": sustained RTF on the true north-star scene
-    (16 loudspeakers, 48 kHz, perceptual ON, JL=800; BASELINE.json
-    requires >= 10).
+  - "north_star_rtf" (+ "_median"): the contract scene;
+  - "silenced": total NaN-guard activations during measurement (must
+    be 0 — a nonzero count means the throughput was measured on a
+    degraded stream).
 
-Robustness: the TPU tunnel in this environment can wedge on unsupported
-ops, so the measurement runs in a watchdogged child process; if the TPU
-attempt fails or hangs, a CPU child provides the fallback number (the
-"device" key records which one produced the result).
+Robustness (VERDICT r2 top item — BENCH_r02 recorded a silent CPU
+fallback after the TPU child hung in a cold full-engine compile):
+  - persistent compile cache lives IN THE REPO TREE (.jax_cache/,
+    gitignored) so driver runs across rounds never cold-compile;
+  - a tiny-matmul probe child runs first with a short timeout; its
+    outcome is recorded as "tpu_probe"/"tpu_error" instead of falling
+    back silently;
+  - measurement children print stage markers around every compile, and
+    the parent watchdog distinguishes "compiling" (long grace) from
+    "hung between stages" (short grace) instead of one flat timeout —
+    a child is never killed quickly mid-compile;
+  - a TPU child killed on a hang wedges the tunnel (observed r2), so
+    the parent then skips remaining TPU children and goes straight to
+    CPU, recording why;
+  - every successful TPU result is persisted to .bench_last_good.json;
+    a CPU-fallback line carries the last-known-good TPU numbers.
 """
 
 from __future__ import annotations
@@ -29,10 +48,15 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 HOP_SECONDS = 800 / 48000.0
 REFERENCE_RTF = 1.0 / 132.0  # BASELINE.md: 132x slower than real time
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_ROOT, ".jax_cache")
+_LAST_GOOD = os.path.join(_ROOT, ".bench_last_good.json")
+_GLOBAL_BUDGET_S = 2700.0  # parent never runs past this (driver safety)
 
 
 def _production_overrides(device: str) -> dict:
@@ -56,12 +80,31 @@ def _production_overrides(device: str) -> dict:
     )
 
 
-def _sustained_rtf(cfg, plan, state, num_hops, reps=5):
+def _enable_compile_cache(jax) -> None:
+    """Repo-local persistent compilation cache: /tmp does not survive
+    across rounds, so BENCH_r02's driver run cold-compiled and hung.
+    The repo tree persists; with a warm cache every compile below is a
+    sub-second deserialization."""
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _mark(msg: str) -> None:
+    print(f"# {msg}", flush=True)
+
+
+def _measure_scene(cfg, plan, state, num_hops, reps):
+    """Sustained streaming measurement with staged, marker-wrapped
+    compiles. Returns (best_rtf, median_rtf, per_hop_best_ms, silenced)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from apvast_tpu.engine import run_stream
+    from apvast_tpu.engine import process_hop, run_stream
 
     rng = np.random.default_rng(0)
     sig_a = jnp.asarray(
@@ -71,30 +114,83 @@ def _sustained_rtf(cfg, plan, state, num_hops, reps=5):
         rng.standard_normal(cfg.hop * num_hops), dtype=jnp.float32
     )
 
+    # Stage 1: the hop transition alone — a smaller program than the
+    # scanned stream, separately cached, and the thing the dispatch
+    # latency is measured on later.
+    hop_fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    _mark("COMPILE hop")
+    t0 = time.time()
+    st, out = hop_fn(state, sig_a[: cfg.hop], sig_b[: cfg.hop])
+    jax.block_until_ready(out.out_a_t)
+    _mark(f"COMPILED hop {time.time() - t0:.1f}s")
+
     def run(state):
         state, outs = run_stream(cfg, plan, state, sig_a, sig_b)
         # Scalar checksum forces real completion (axon's block_until_ready
         # does not actually wait).
-        return state, jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+        return (
+            state,
+            jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32)),
+            jnp.sum(outs.silenced),
+        )
 
-    state1, chk = run(state)  # warmup/compile
-    if not np.isfinite(float(chk)):
+    _mark(f"COMPILE stream {num_hops} hops")
+    t0 = time.time()
+    state1, chk, silenced = run(state)
+    chk = float(chk)
+    _mark(f"COMPILED stream {time.time() - t0:.1f}s")
+    if not np.isfinite(chk):
         raise RuntimeError("non-finite outputs")
-    # Best-of-reps: the tunnel's wall-clock jitters by tens of percent
-    # between dispatches; the fastest rep is the steady-state number.
-    best = float("inf")
+    silenced_total = int(silenced)
+    times = []
     for _ in range(reps):
         t0 = time.time()
-        _, chk = run(state1)
+        _, chk, silenced = run(state1)
         float(chk)
-        best = min(best, time.time() - t0)
-    per_hop = best / num_hops
-    return HOP_SECONDS / per_hop, per_hop
+        times.append(time.time() - t0)
+        silenced_total += int(silenced)
+    times.sort()
+    best = times[0]
+    median = times[len(times) // 2]
+    return (
+        HOP_SECONDS * num_hops / best,
+        HOP_SECONDS * num_hops / median,
+        best / num_hops * 1000,
+        silenced_total,
+    )
+
+
+def probe() -> int:
+    """Child mode: tiny-matmul tunnel health probe. Prints one JSON line;
+    a hang/timeout here means the tunnel is wedged and the parent must
+    not attempt measurement children."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache(jax)
+    t0 = time.time()
+    x = jnp.ones((256, 256), jnp.float32)
+    y = float(jnp.sum(x @ x))
+    dev = jax.devices()[0].platform
+    cached = len(os.listdir(_CACHE_DIR)) if os.path.isdir(_CACHE_DIR) else 0
+    print(
+        json.dumps(
+            {
+                "probe": "ok",
+                "device": dev,
+                "matmul_s": round(time.time() - t0, 2),
+                "checksum_ok": y == 256.0 * 256 * 256,
+                "cache_entries": cached,
+            }
+        ),
+        flush=True,
+    )
+    return 0
 
 
 def measure(device: str) -> int:
-    """Child mode: run the measurements and print the JSON line."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    """Child mode: bundled-baseline-scene measurement, JSON on stdout."""
+    sys.path.insert(0, _ROOT)
     import numpy as np
 
     if device == "cpu":
@@ -133,21 +229,26 @@ def measure(device: str) -> int:
     # tunnel costs ~9 ms per dispatch regardless of stream length; the
     # baseline's 2.2 s/hop is likewise a steady-state number).
     num_hops = 16 if device == "cpu" else 128
-    rtf, _ = _sustained_rtf(cfg, plan, state, num_hops)
+    rtf, rtf_med, _, silenced = _measure_scene(
+        cfg, plan, state, num_hops, reps=5
+    )
 
     result = {
         "metric": "rtf_filter_updates",
         "value": round(rtf, 3),
+        "value_median": round(rtf_med, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / REFERENCE_RTF, 1),
         "device": device,
+        "silenced": silenced,
     }
     # Print the headline immediately: if the parent's watchdog kills this
-    # child during the (expensive, recompiled) latency measurement below,
-    # the partial stdout still carries the measurement.
+    # child during the latency measurement below, the partial stdout
+    # still carries the measurement.
     print(json.dumps(result), flush=True)
 
-    # Honesty fields: per-single-hop-dispatch latency on the same scene.
+    # Honesty fields: per-single-hop-dispatch latency on the same scene
+    # (the hop program was already compiled inside _measure_scene).
     try:
         rng = np.random.default_rng(1)
         hop_a = jnp.asarray(rng.standard_normal(cfg.hop), jnp.float32)
@@ -166,29 +267,16 @@ def measure(device: str) -> int:
     except Exception as exc:  # pragma: no cover - robustness only
         result["dispatch_latency_error"] = str(exc)[:200]
 
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     return 0
 
 
-def _enable_compile_cache(jax) -> None:
-    """Persistent compilation cache: children recompile identical
-    programs every bench run; in the tunnel's slow phases a cold compile
-    can outlive the watchdog, and a child killed mid-compile can wedge
-    the tunnel for the NEXT child. Best-effort (ignored if the backend
-    doesn't support it)."""
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
-
-
 def measure_north_star() -> int:
-    """Child mode: north-star scene (BASELINE.json north star — 16
-    loudspeakers, 48 kHz, perceptual ON) sustained RTF, as its own
-    watchdogged child so a wedge here cannot discard a valid baseline
-    measurement."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    """Child mode: north-star scene (BASELINE.json — 16 loudspeakers,
+    48 kHz, perceptual ON) sustained RTF. Runs FIRST in the parent: it
+    is the contract number and must not depend on the baseline child
+    surviving (VERDICT r2 weak #8)."""
+    sys.path.insert(0, _ROOT)
     import jax
 
     _enable_compile_cache(jax)
@@ -199,67 +287,248 @@ def measure_north_star() -> int:
     ns = scale_scene(16, **_production_overrides("tpu"))
     ns_plan = build_plan(ns.config, ns.rir_a, ns.rir_b)
     ns_state = init_state(ns.config, key=jax.random.key(0))
-    ns_rtf, _ = _sustained_rtf(ns.config, ns_plan, ns_state, 256, reps=6)
-    print(json.dumps({"metric": "north_star_rtf", "value": round(ns_rtf, 3)}))
+    rtf, rtf_med, per_hop_ms, silenced = _measure_scene(
+        ns.config, ns_plan, ns_state, num_hops=256, reps=6
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "north_star_rtf",
+                "value": round(rtf, 3),
+                "value_median": round(rtf_med, 3),
+                "per_hop_ms": round(per_hop_ms, 3),
+                "silenced": silenced,
+            }
+        ),
+        flush=True,
+    )
     return 0
 
 
-def _try_child(device: str, timeout: float) -> dict | None:
-    env = dict(os.environ)
+class _ChildResult:
+    def __init__(self):
+        self.data: dict | None = None
+        self.error: str | None = None
+        self.killed_mid_compile = False
+
+
+def _stream_child(
+    mode: str,
+    total_timeout: float,
+    idle_timeout: float = 240.0,
+    compile_timeout: float = 900.0,
+) -> _ChildResult:
+    """Run a child, watching stdout line by line. Grace for silence is
+    ``compile_timeout`` while the last marker says a compile is in
+    flight, ``idle_timeout`` otherwise; ``total_timeout`` caps the whole
+    child. The last JSON line seen wins (children stream partials)."""
+    res = _ChildResult()
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", device],
-            capture_output=True,
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", mode],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
             text=True,
-            timeout=timeout,
-            env=env,
+            env=dict(os.environ),
         )
-    except subprocess.TimeoutExpired as exc:
-        # Children print partial results as they land — salvage them.
-        out = exc.stdout or b""
-        if isinstance(out, bytes):
-            out = out.decode(errors="replace")
-        for line in reversed(out.strip().splitlines()):
-            try:
-                data = json.loads(line)
-            except (json.JSONDecodeError, ValueError):
-                continue
-            if "metric" in data:
-                return data
-        return None
-    for line in reversed(proc.stdout.strip().splitlines()):
+    except OSError as exc:  # pragma: no cover
+        res.error = f"spawn failed: {exc}"
+        return res
+
+    lines: list[str] = []
+    lock = threading.Lock()
+    last_line_t = [time.time()]
+
+    def reader():
+        for line in proc.stdout:
+            with lock:
+                lines.append(line.rstrip("\n"))
+                last_line_t[0] = time.time()
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+
+    start = time.time()
+    compiling = False
+    while proc.poll() is None:
+        time.sleep(1.0)
+        now = time.time()
+        with lock:
+            for ln in lines:
+                if ln.startswith("# COMPILE "):
+                    compiling = True
+                elif ln.startswith("# COMPILED") or ln.startswith("{"):
+                    compiling = False
+            idle = now - last_line_t[0]
+        grace = compile_timeout if compiling else idle_timeout
+        if now - start > total_timeout or idle > grace:
+            why = (
+                f"total timeout {total_timeout:.0f}s"
+                if now - start > total_timeout
+                else f"no output for {idle:.0f}s"
+                + (" (mid-compile)" if compiling else "")
+            )
+            res.killed_mid_compile = compiling
+            res.error = f"child '{mode}' killed: {why}"
+            proc.kill()
+            break
+    try:
+        proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:  # pragma: no cover
+        pass
+    th.join(timeout=10)
+    stderr_tail = ""
+    try:
+        stderr_tail = (proc.stderr.read() or "")[-400:]
+    except Exception:
+        pass
+
+    with lock:
+        captured = list(lines)
+    for line in reversed(captured):
+        if not line.startswith("{"):
+            continue
         try:
             data = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
-        if "metric" in data:
-            return data
-    return None
+        res.data = data
+        break
+    if res.data is None and res.error is None:
+        res.error = (
+            f"child '{mode}' exited rc={proc.returncode} without a result"
+            + (f"; stderr: {stderr_tail}" if stderr_tail else "")
+        )
+    return res
 
 
 def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        if sys.argv[2] == "north-star":
+        mode = sys.argv[2]
+        if mode == "probe":
+            return probe()
+        if mode == "north-star":
             return measure_north_star()
-        return measure(sys.argv[2])
+        return measure(mode)
 
-    result = _try_child("tpu", timeout=900)
-    if result is not None and result.get("device") == "tpu":
-        ns = _try_child("north-star", timeout=600)
-        if ns is not None and ns.get("metric") == "north_star_rtf":
-            result["north_star_rtf"] = ns["value"]
+    start = time.time()
+    remaining = lambda: _GLOBAL_BUDGET_S - (time.time() - start)
+    notes: dict = {}
+    tpu_ok = True
+
+    # 1. Tunnel health probe (short, its own child).
+    pr = _stream_child("probe", total_timeout=min(300, remaining()),
+                       idle_timeout=300, compile_timeout=300)
+    if pr.data is not None and pr.data.get("probe") == "ok":
+        notes["tpu_probe"] = "ok"
+        notes["tpu_probe_device"] = pr.data.get("device")
+        if pr.data.get("device") != "tpu":
+            tpu_ok = False
+            notes["tpu_error"] = (
+                f"probe ran on '{pr.data.get('device')}', not tpu"
+            )
+    else:
+        tpu_ok = False
+        notes["tpu_probe"] = "failed"
+        notes["tpu_error"] = pr.error or "probe returned no result"
+
+    # 2. North-star child FIRST (the contract number).
+    ns = None
+    if tpu_ok and remaining() > 600:
+        ns = _stream_child(
+            "north-star",
+            total_timeout=min(1500, remaining() - 420),
+            idle_timeout=240,
+            compile_timeout=1200,
+        )
+        if ns.killed_mid_compile:
+            # A kill mid-compile wedges the tunnel (observed r2):
+            # don't throw the baseline child at a wedged tunnel.
+            tpu_ok = False
+            notes["tpu_error"] = ns.error
+
+    # 3. Baseline scene on TPU.
+    base = None
+    if tpu_ok and remaining() > 420:
+        base = _stream_child(
+            "tpu",
+            total_timeout=min(1200, remaining() - 360),
+            idle_timeout=240,
+            compile_timeout=900,
+        )
+        if base.killed_mid_compile:
+            tpu_ok = False
+            notes.setdefault("tpu_error", base.error)
+
+    result: dict | None = None
+    if base is not None and base.data is not None and base.data.get(
+        "device"
+    ) == "tpu":
+        result = base.data
+    elif base is not None and base.error:
+        notes["baseline_error"] = base.error
+
+    if ns is not None:
+        if ns.data is not None and ns.data.get("metric") == "north_star_rtf":
+            ns_fields = {
+                "north_star_rtf": ns.data["value"],
+                "north_star_rtf_median": ns.data.get("value_median"),
+                "north_star_per_hop_ms": ns.data.get("per_hop_ms"),
+                "north_star_silenced": ns.data.get("silenced"),
+            }
+            if result is not None:
+                result.update(ns_fields)
+            else:
+                # The north star IS the contract number: report it as the
+                # headline when the (heavier) baseline child failed.
+                result = {
+                    "metric": "north_star_rtf",
+                    "value": ns.data["value"],
+                    "unit": "x_realtime",
+                    "vs_baseline": round(ns.data["value"] / 10.0, 2),
+                    "vs_baseline_meaning": "vs_north_star_target_10x",
+                    "device": "tpu",
+                    **ns_fields,
+                }
         else:
-            result["north_star_error"] = "north-star child failed/timed out"
-    if result is None:
-        result = _try_child("cpu", timeout=900)
-    if result is None:
+            notes["north_star_error"] = ns.error or "north-star child failed"
+
+    if result is not None and result.get("device") == "tpu":
+        result.update(notes)
+        try:
+            with open(_LAST_GOOD, "w") as fh:
+                json.dump(
+                    {"captured_unix": int(time.time()), **result}, fh
+                )
+        except OSError:
+            pass
+        print(json.dumps(result))
+        return 0
+
+    # 4. CPU fallback — explicitly labeled, with the TPU failure reason
+    # and the last-known-good TPU measurement attached.
+    cpu = _stream_child(
+        "cpu",
+        total_timeout=max(240, min(900, remaining())),
+        idle_timeout=300,
+        compile_timeout=600,
+    )
+    if cpu.data is not None:
+        result = cpu.data
+    else:
         result = {
             "metric": "rtf_filter_updates",
             "value": 0.0,
             "unit": "x_realtime",
             "vs_baseline": 0.0,
-            "error": "both TPU and CPU measurement children failed",
+            "error": cpu.error or "all measurement children failed",
         }
+    result.update(notes)
+    try:
+        with open(_LAST_GOOD) as fh:
+            result["last_good_tpu"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
     print(json.dumps(result))
     return 0
 
