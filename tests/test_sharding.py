@@ -150,6 +150,60 @@ def test_multi_scene_wrapper(scene_batch):
     assert np.isfinite(np.asarray(out.out_a)).all()
 
 
+@pytest.mark.slow
+def test_mic_sharded_tpu_scale_jl1600():
+    """BASELINE config 5 geometry (32 loudspeakers, JL=1600, 48 kHz,
+    perceptual ON, production subspace solver) through the mic-sharded
+    mesh: the claimed scaling path past the single-chip 32-speaker
+    number, exercised at its own geometry (VERDICT r2 #3). 32 mics so
+    the mic axis splits over all 8 devices."""
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.utils.scenes import scale_scene
+
+    scene = scale_scene(
+        32,
+        num_mics=32,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=14,
+        subspace_iters=2,
+    )
+    cfg = scene.config
+    assert cfg.jl == 1600
+    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+    state = init_state(cfg, key=jax.random.key(2))
+    plans = jax.tree.map(lambda x: None if x is None else x[None], plan)
+    states = jax.tree.map(lambda x: x[None], state)
+    rng = np.random.default_rng(21)
+    hops = jnp.asarray(
+        rng.standard_normal((1, 2, cfg.hop)), dtype=jnp.float32
+    )
+
+    ref_fn = sharded_multi_scene_hop(cfg)
+    ref_state, ref_out = ref_fn(plans, states, hops[:, 0], hops[:, 1])
+
+    mesh = make_mesh({"mic": 8})
+    sharded_fn = sharded_multi_scene_hop(cfg, mesh)
+    sh_plans = shard_plan(plans, mesh)
+    sh_states = shard_scene_batch(states, mesh)
+    got_state, got_out = sharded_fn(sh_plans, sh_states, hops[:, 0], hops[:, 1])
+
+    ref_stat = np.asarray(ref_state.wresp_stat)
+    np.testing.assert_allclose(
+        np.asarray(got_state.wresp_stat),
+        ref_stat,
+        rtol=1e-4,
+        atol=1e-6 * float(np.abs(ref_stat).max()),
+    )
+    for got, want in (
+        (got_out.out_a, ref_out.out_a),
+        (got_out.out_b, ref_out.out_b),
+    ):
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.isfinite(got).all()
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got, want, rtol=1e-2, atol=3e-2 * scale)
+
+
 def test_fd_mic_sharded_matches_unsharded():
     """FD engine under (scene x mic) shard_map == unsharded."""
     from apvast_tpu.engine.fd_hop import init_fd_state
