@@ -165,6 +165,86 @@ def test_calibration_conditions_hold():
     np.testing.assert_allclose(d_quiet, 1.0, rtol=1e-4)
 
 
+def test_matlab_model_calibration_matches_independent_oracle():
+    """The MATLAB_MODEL front-end's Cs/Ca bisection calibration
+    (perceptual/tables.build_perceptual_tables, mirroring
+    perceptualModel.m:59-116) against an independently re-derived
+    oracle (VERDICT r2 weak #6): quadrature ERB scale instead of the
+    closed form, B-spline ISO 226 interpolation instead of CubicSpline,
+    separate calibration algebra in absolute dB-SPL terms."""
+    from scipy.interpolate import make_interp_spline
+
+    from apvast_tpu.perceptual.tables import (
+        _ISO226_FREQ,
+        _ISO226_SPL,
+        build_perceptual_tables,
+    )
+
+    block, fs, spl = 512, 48000.0, 94.0
+    bins = block // 2 + 1
+    freq = np.arange(bins) * (fs / block)
+    fullscale_pa = 10.0 ** (spl / 20.0) * 20e-6
+
+    # ISO 226 threshold via an interpolating cubic B-spline (not-a-knot
+    # is the default for make_interp_spline(k=3) with no boundary
+    # conditions — same math as MATLAB interp1 'spline', different code).
+    thr_db = make_interp_spline(_ISO226_FREQ, _ISO226_SPL, k=3)(freq)
+    omear = 1.0 / (10.0 ** (thr_db / 20.0) * 20e-6 / fullscale_pa)
+
+    # 1-ERB-spaced bank over [0, fs/2] with the quadrature ERB scale:
+    # count = floor(erbnum(fs/2)) + 1, points centered in the range.
+    (top_erb,), grid, cum = _oracle_erb_number(np.array([fs / 2.0]))
+    n_ch = int(math.floor(top_erb))
+    points = np.arange(n_ch + 1) + (top_erb - n_ch) / 2.0
+    centers = np.interp(points, cum, grid)
+    bw = 24.7 + centers / 9.265
+    kconst = 2.0 ** 3 * math.factorial(3) / (math.pi * 15.0)
+    h = (
+        1.0
+        + ((freq[:, None] - centers[None, :]) / (kconst * bw[None, :])) ** 2
+    ) ** (-2.0)
+    cfmr_sq = (omear[:, None] * h) ** 2
+    leff = min(block / fs / 0.3, 1.0)
+
+    cal_bin = max(1, block // 48 - 1)
+    s = lambda db: 10.0 ** (db / 20.0) * 20e-6 / fullscale_pa  # rms amp
+    knorm = leff * float(np.sum(h[cal_bin] ** 2))
+    k52 = cfmr_sq[cal_bin] * s(52.0) ** 2
+    k70 = cfmr_sq[cal_bin] * s(70.0) ** 2
+
+    def obj(cs):
+        return leff * np.sum(k52 / (k70 + cs * knorm)) - 1.0 / cs
+
+    lo, hi = 1e-3, 1e6
+    assert obj(lo) * obj(hi) < 0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if obj(mid) * obj(lo) > 0:
+            lo = mid
+        else:
+            hi = mid
+    cs_oracle = 0.5 * (lo + hi)
+    ca_oracle = cs_oracle * knorm
+
+    t = build_perceptual_tables(block, fs, pressure_scale_db_spl=spl)
+    assert t.num_channels == n_ch + 1
+    # Tolerance floor = the oracle's trapezoid ERB quadrature.
+    np.testing.assert_allclose(t.cs, cs_oracle, rtol=5e-3)
+    np.testing.assert_allclose(t.ca, ca_oracle, rtol=5e-3)
+    np.testing.assert_allclose(t.cfmr_sq, cfmr_sq, rtol=5e-3, atol=1e-12)
+
+    # And the two van de Par conditions on the BUILT tables, in absolute
+    # dB-SPL terms: masked 52-under-70 probe at D = 1; a tone at the
+    # interpolated threshold-in-quiet level at D = 1.
+    cf = t.cfmr_sq[cal_bin]
+    d_masked = t.cs * t.leff * np.sum(
+        cf * s(52.0) ** 2 / (cf * s(70.0) ** 2 + t.ca)
+    )
+    np.testing.assert_allclose(d_masked, 1.0, rtol=1e-4)
+    d_quiet = t.cs * t.leff * np.sum(cf * s(thr_db[cal_bin]) ** 2 / t.ca)
+    np.testing.assert_allclose(d_quiet, 1.0, rtol=5e-3)
+
+
 def test_engine_runs_with_libdetectability_frontend(small_scene):
     import dataclasses
 

