@@ -249,6 +249,11 @@ class ApVastConfig:
     # (float32 only; frames never materialized, cross-correlation vector
     # via FFT). Falls back to interpret mode off-TPU.
     use_pallas_statistics: bool = False
+    # Compute the statistics from lag correlations instead of a dense
+    # Gram (ops/lag_statistics.py): exploits the Toeplitz shift structure
+    # of the data matrix for ~J-fold fewer FLOPs — same sums, different
+    # order. Takes precedence over use_pallas_statistics. Any dtype.
+    use_lag_statistics: bool = False
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).

@@ -253,7 +253,19 @@ def process_hop(
     wresp_stat = slide(state.wresp_stat, wr_emit)
 
     # ---- 4. statistics (ref apvast.py:329-364) -------------------------
-    if config.use_pallas_statistics:
+    if config.use_lag_statistics:
+        from apvast_tpu.ops.lag_statistics import covariance_via_lags
+
+        if config.toeplitz_variant is ToeplitzVariant.PYTHON:
+            buf_eff = jnp.concatenate(
+                [wresp_stat[..., :j], wresp_stat[..., j + 1 :]], axis=-1
+            )
+        else:
+            buf_eff = wresp_stat
+        k = buf_eff.shape[-1] - j + 1
+        d = wtarget_stat[..., -k:]
+        r_mats, r_vecs = covariance_via_lags(buf_eff, d, j)
+    elif config.use_pallas_statistics:
         if dtype != jnp.float32:
             raise ValueError("use_pallas_statistics requires dtype=float32")
         from apvast_tpu.ops.pallas.statistics import covariance_pallas

@@ -1,0 +1,191 @@
+"""Lag-domain statistics: the Toeplitz Gram computed from correlations.
+
+The reference forms the spatial-correlation matrices as dense Grams of
+Toeplitz data matrices (Python/apvast.py:329-364): ``R = sum_m Y_m Y_m^T``
+with ``Y_m`` of shape (S*J, K) whose rows are *shifted copies* of the same
+per-source signals, ``y[(s,tap), t] = x_s[t + J-1-tap]``. The dense Gram
+costs O(M (SJ)^2 K) — ~78 GFLOP per hop on the 16-speaker north-star scene
+and ~640 GFLOP at 32 speakers — but the shift structure means every entry
+is a *windowed lag correlation*:
+
+    R[(s1,t1),(s2,t2)] = C_{a,b} = sum_{t=0}^{K-1} x1[t+a] x2[t+b],
+    a = J-1-t1, b = J-1-t2,
+
+and along each diagonal C obeys the rank-1 recurrence
+
+    C_{a,b} = C_{a-1,b-1} + x1[a+K-1] x2[b+K-1] - x1[a-1] x2[b-1].
+
+So the whole matrix reduces to (i) one full correlation per source pair at
+J lags over the K-sample window (O(M S^2 J K) — ~50x fewer FLOPs than the
+Gram at J=50), plus (ii) two J x J cumulative edge tables per pair
+(O(M S^2 J^2)), plus a static gather to lay the diagonals out as (SJ, SJ).
+The arithmetic is exact — this is a reorganization of the same sums, not
+an approximation (float rounding differs only by summation order).
+
+The cross-correlation vector ``r = sum_m Y_m d_m`` is the same correlation
+at J lags against the weighted target (O(M S J K)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _assembly_indices(j: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static gather maps from the (a, l) diagonal tables to (tap1, tap2).
+
+    For taps t1 >= t2 the entry lives in the pair's own table at
+    a = J-1-t1, l = t1-t2; for t1 < t2 it is the (s2, s1) table at
+    a = J-1-t2, l = t2-t1 (C^{(s1,s2)}_{a,b} = C^{(s2,s1)}_{b,a})."""
+    t1 = np.arange(j)[:, None]
+    t2 = np.arange(j)[None, :]
+    upper = (j - 1 - t1) * j + (t1 - t2)
+    lower = (j - 1 - t2) * j + (t2 - t1)
+    mask = t1 >= t2
+    return (
+        np.where(mask, upper, 0).astype(np.int32),
+        np.where(mask, 0, lower).astype(np.int32),
+        mask,
+    )
+
+
+def _c0_conv(x: jax.Array, k: int) -> jax.Array:
+    """Windowed correlations via one grouped convolution per path.
+
+    x: (P, M, S, N) -> C0[p, s1, s2, l] = sum_{m, t<k} x[p,m,s1,t] *
+    x[p,m,s2,t+l] for l in [0, N-K]. The mic axis is the conv's feature
+    contraction; XLA:TPU streams the implicit sliding windows through
+    VMEM instead of materializing the (N, S*J) shift matrix in HBM."""
+
+    def per_path(xp):  # (M, S, N)
+        lhs = xp.transpose(1, 0, 2)  # (S=batch, M=features, N)
+        rhs = xp[:, :, :k].transpose(1, 0, 2)  # (S=out features, M, K)
+        out = jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )  # (s2, s1, l)
+        return out.transpose(1, 0, 2)  # (s1, s2, l)
+
+    return jax.vmap(per_path)(x)
+
+
+def _c0_matmul(x: jax.Array, k: int) -> jax.Array:
+    """Same correlations as :func:`_c0_conv` as an explicit matmul against
+    shift stacks, scanned over microphones to bound the materialized
+    windows to one mic at a time (the full stack would be O(N S J) per
+    path-mic — ~200 MB on the north-star scene)."""
+    p4, m, s, n = x.shape
+    j = n - k + 1
+
+    def body(acc, xm):  # xm: (P, S, N)
+        z = jnp.stack(
+            [xm[..., l : l + k] for l in range(j)], axis=2
+        )  # (P, S2, J, K)
+        c = jnp.einsum(
+            "pst,pult->psul",
+            xm[..., :k],
+            z,
+            preferred_element_type=x.dtype,
+        )
+        return acc + c, None
+
+    init = jnp.zeros((p4, s, s, j), dtype=x.dtype)
+    acc, _ = jax.lax.scan(body, init, jnp.moveaxis(x, 1, 0))
+    return acc
+
+
+def covariance_via_lags(
+    buf: jax.Array,
+    d: jax.Array,
+    j: int,
+    c0_method: str = "conv",
+) -> tuple[jax.Array, jax.Array]:
+    """Spatial-correlation statistics from lag correlations.
+
+    Args:
+        buf: (4, M, S, N) weighted-response statistics buffers (the
+            PYTHON-variant sample deletion already applied by the caller,
+            as for the Pallas kernel path).
+        d: (2, M, K) weighted target buffers aligned to the K frames.
+        j: filter length J.
+        c0_method: "conv" (grouped lax.conv — production) or "matmul"
+            (explicit shift-stack einsum scanned over mics).
+
+    Returns:
+        (r_mats (4, S*J, S*J), r_vecs (2, S*J)) — numerically equal (up
+        to summation order) to the framed-einsum reference path.
+    """
+    p4, m, s, n = buf.shape
+    k = n - j + 1
+    if d.shape[-1] != k:
+        raise ValueError(f"target buffer must have K={k} samples")
+    dtype = buf.dtype
+
+    # ---- (i) full-window correlations at J lags -------------------------
+    if c0_method == "conv":
+        c0 = _c0_conv(buf, k)  # (4, s1, s2, J)
+    else:
+        c0 = _c0_matmul(buf, k)
+
+    # ---- (ii) edge tables ----------------------------------------------
+    # Right edge: PP[a, l] = sum_{i=1..a} x1[k-1+i] x2[k-1+i+l].
+    idx_r = np.minimum(
+        (k - 1) + np.arange(j)[:, None] + np.arange(j)[None, :], n - 1
+    )  # (i, l), clamped; clamped entries are never read (need a+l <= J-1)
+    x1r = buf[..., k - 1 : k - 1 + j]  # (4, m, s, J)
+    h2r = buf[..., idx_r]  # (4, m, s, J, J)
+    k_r = jnp.einsum(
+        "pmsi,pmtil->pstil", x1r, h2r, preferred_element_type=dtype
+    )  # (4, s1, s2, i, l)
+    kc = jnp.cumsum(k_r, axis=3)
+    pp = kc - kc[..., :1, :]
+
+    # Left edge: PM[a, l] = sum_{u=0..a-1} x1[u] x2[u+l]; PM[0] = 0.
+    if j > 1:
+        idx_l = np.minimum(
+            np.arange(j - 1)[:, None] + np.arange(j)[None, :], n - 1
+        )
+        x1l = buf[..., : j - 1]  # (4, m, s, J-1)
+        h2l = buf[..., idx_l]  # (4, m, s, J-1, J)
+        k_l = jnp.einsum(
+            "pmsu,pmtul->pstul", x1l, h2l, preferred_element_type=dtype
+        )
+        pm = jnp.concatenate(
+            [jnp.zeros_like(k_l[..., :1, :]), jnp.cumsum(k_l, axis=3)],
+            axis=3,
+        )  # (4, s1, s2, a, l)
+    else:
+        pm = jnp.zeros_like(pp)
+
+    t_tab = c0[..., None, :] + pp - pm  # (4, s1, s2, a, l)
+
+    # ---- assembly: diagonals -> (S*J, S*J) ------------------------------
+    upper_idx, lower_idx, mask = _assembly_indices(j)
+    t_flat = t_tab.reshape(p4, s, s, j * j)
+    t_swap = t_tab.transpose(0, 2, 1, 3, 4).reshape(p4, s, s, j * j)
+    r_upper = t_flat[..., jnp.asarray(upper_idx)]  # (4, s1, s2, t1, t2)
+    r_lower = t_swap[..., jnp.asarray(lower_idx)]
+    block = jnp.where(jnp.asarray(mask), r_upper, r_lower)
+    r_mats = block.transpose(0, 1, 3, 2, 4).reshape(p4, s * j, s * j)
+
+    # ---- cross-correlation vectors --------------------------------------
+    # r[z, s, tap] = sum_{m,t} x[pz, m, s, t + (J-1-tap)] d[z, m, t]:
+    # correlate against the zero-padded target shifted to each lag.
+    dp = jnp.pad(d, ((0, 0), (0, 0), (0, j - 1)))  # (2, m, n)
+    d_shift = jnp.stack(
+        [jnp.roll(dp, a, axis=-1) for a in range(j)], axis=2
+    )  # (2, m, J, n); wrapped samples land in the zero padding
+    x_bright = buf[jnp.asarray([0, 3])]  # bright paths A->A, B->B
+    r_corr = jnp.einsum(
+        "zmsu,zmau->zsa", x_bright, d_shift, preferred_element_type=dtype
+    )  # (2, s, a)
+    r_vecs = jnp.flip(r_corr, axis=-1).reshape(2, s * j)
+    return r_mats, r_vecs

@@ -1,0 +1,102 @@
+"""Lag-domain statistics (ops/lag_statistics.py) vs the framed dense
+Gram — the two must compute the SAME sums (different order), so float64
+agreement is near machine precision, not a loose tolerance."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apvast_tpu.config import ApVastConfig, ToeplitzVariant
+from apvast_tpu.ops.framing import frame_buffer
+from apvast_tpu.ops.lag_statistics import covariance_via_lags
+
+
+def _reference_gram(buf, d, j, variant):
+    """The hop's einsum path (engine/hop.py stage 4), verbatim."""
+    frames = frame_buffer(buf, j, variant)
+    m = buf.shape[1]
+    s = buf.shape[2]
+    k = frames.shape[-2]
+    y = (
+        jnp.flip(frames, axis=-1)
+        .transpose(0, 1, 2, 4, 3)
+        .reshape(4, m, s * j, k)
+    )
+    r_mats = jnp.einsum("pmak,pmbk->pab", y, y)
+    r_vecs = jnp.einsum("zmak,zmk->za", y[jnp.asarray([0, 3])], d[..., -k:])
+    return r_mats, r_vecs
+
+
+@pytest.mark.parametrize("c0_method", ["conv", "matmul"])
+@pytest.mark.parametrize("s,j,m,n", [(3, 16, 2, 80), (4, 7, 3, 40), (2, 1, 2, 12)])
+def test_matches_dense_gram_float64(c0_method, s, j, m, n):
+    rng = np.random.default_rng(11 + s + j)
+    buf = jnp.asarray(rng.standard_normal((4, m, s, n)))
+    k = n - j + 1
+    d = jnp.asarray(rng.standard_normal((2, m, k)))
+
+    # The caller applies the PYTHON-variant deletion before the lag path,
+    # so the oracle here is the MATLAB (contiguous) framing of the same
+    # buffer — identical semantics to the pallas-branch contract.
+    want_r, want_v = _reference_gram(buf, d, j, ToeplitzVariant.MATLAB)
+    got_r, got_v = covariance_via_lags(buf, d, j, c0_method=c0_method)
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(want_r), rtol=1e-11, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-11, atol=1e-11
+    )
+
+
+def test_matches_dense_gram_float32():
+    rng = np.random.default_rng(3)
+    buf = jnp.asarray(
+        rng.standard_normal((4, 2, 3, 120)), dtype=jnp.float32
+    )
+    j = 20
+    d = jnp.asarray(
+        rng.standard_normal((2, 2, 101)), dtype=jnp.float32
+    )
+    want_r, want_v = _reference_gram(buf, d, j, ToeplitzVariant.MATLAB)
+    got_r, got_v = covariance_via_lags(buf, d, j)
+    scale = float(jnp.abs(want_r).max())
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(want_r), rtol=2e-4, atol=2e-5 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=2e-4,
+        atol=2e-5 * float(jnp.abs(want_v).max()),
+    )
+
+
+@pytest.mark.parametrize("variant", list(ToeplitzVariant))
+def test_engine_hop_with_lag_statistics(small_scene, variant):
+    """process_hop(use_lag_statistics=True) == the einsum engine, both
+    Toeplitz variants, float64."""
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+
+    config, rir_a, rir_b = small_scene
+    base = dataclasses.replace(config, toeplitz_variant=variant)
+    lag = dataclasses.replace(base, use_lag_statistics=True)
+
+    rng = np.random.default_rng(8)
+    outs = {}
+    for name, cfg in (("base", base), ("lag", lag)):
+        plan = build_plan(cfg, rir_a, rir_b)
+        state = init_state(cfg, key=jax.random.key(0))
+        fn = jax.jit(lambda s, a, b, c=cfg, p=plan: process_hop(c, p, s, a, b))
+        r = np.random.default_rng(8)
+        for _ in range(3):
+            state, out = fn(
+                state,
+                jnp.asarray(r.standard_normal(cfg.hop)),
+                jnp.asarray(r.standard_normal(cfg.hop)),
+            )
+        outs[name] = np.asarray(out.out_a)
+    scale = np.abs(outs["base"]).max()
+    np.testing.assert_allclose(
+        outs["lag"], outs["base"], rtol=1e-9, atol=1e-9 * scale
+    )
