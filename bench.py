@@ -414,23 +414,36 @@ def main() -> int:
     start = time.time()
     remaining = lambda: _GLOBAL_BUDGET_S - (time.time() - start)
     notes: dict = {}
-    tpu_ok = True
 
-    # 1. Tunnel health probe (short, its own child).
-    pr = _stream_child("probe", total_timeout=min(300, remaining()),
-                       idle_timeout=300, compile_timeout=300)
-    if pr.data is not None and pr.data.get("probe") == "ok":
-        notes["tpu_probe"] = "ok"
-        notes["tpu_probe_device"] = pr.data.get("device")
-        if pr.data.get("device") != "tpu":
-            tpu_ok = False
-            notes["tpu_error"] = (
-                f"probe ran on '{pr.data.get('device')}', not tpu"
-            )
-    else:
-        tpu_ok = False
+    def run_probe(budget):
+        pr = _stream_child("probe", total_timeout=budget,
+                           idle_timeout=budget, compile_timeout=budget)
+        if pr.data is not None and pr.data.get("probe") == "ok":
+            notes["tpu_probe"] = "ok"
+            notes["tpu_probe_device"] = pr.data.get("device")
+            if pr.data.get("device") != "tpu":
+                notes["tpu_error"] = (
+                    f"probe ran on '{pr.data.get('device')}', not tpu"
+                )
+                return False
+            notes.pop("tpu_error", None)
+            return True
         notes["tpu_probe"] = "failed"
         notes["tpu_error"] = pr.error or "probe returned no result"
+        return False
+
+    # 1. Tunnel health probe (its own child). A wedged tunnel hangs the
+    # probe; in that case measure the CPU fallback FIRST (several
+    # minutes — recovery time for the tunnel) and probe once more before
+    # giving up on TPU.
+    cpu_early = None
+    tpu_ok = run_probe(min(420, remaining()))
+    if not tpu_ok and remaining() > 1500:
+        cpu_early = _stream_child(
+            "cpu", total_timeout=min(900, remaining() - 600),
+            idle_timeout=300, compile_timeout=600,
+        )
+        tpu_ok = run_probe(min(420, remaining() - 300))
 
     # 2. North-star child FIRST (the contract number).
     ns = None
@@ -506,13 +519,17 @@ def main() -> int:
         return 0
 
     # 4. CPU fallback — explicitly labeled, with the TPU failure reason
-    # and the last-known-good TPU measurement attached.
-    cpu = _stream_child(
-        "cpu",
-        total_timeout=max(240, min(900, remaining())),
-        idle_timeout=300,
-        compile_timeout=600,
-    )
+    # and the last-known-good TPU measurement attached. Reuses the
+    # pre-probe-retry CPU measurement if one was taken.
+    if cpu_early is not None and cpu_early.data is not None:
+        cpu = cpu_early
+    else:
+        cpu = _stream_child(
+            "cpu",
+            total_timeout=max(240, min(900, remaining())),
+            idle_timeout=300,
+            compile_timeout=600,
+        )
     if cpu.data is not None:
         result = cpu.data
     else:
