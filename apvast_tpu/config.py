@@ -254,6 +254,12 @@ class ApVastConfig:
     # of the data matrix for ~J-fold fewer FLOPs — same sums, different
     # order. Takes precedence over use_pallas_statistics. Any dtype.
     use_lag_statistics: bool = False
+    # Apply the perceptual weighting to the loudspeaker responses as a
+    # truncated time-domain circular convolution (ops/weighting_conv.py)
+    # instead of the full spectral round trip — an APPROXIMATION (the
+    # weighting impulse response is truncated to this many taps, odd;
+    # production only, quality-gated). None = exact reference path.
+    weighting_conv_taps: int | None = None
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).
@@ -301,6 +307,12 @@ class ApVastConfig:
             raise ValueError("reference_index_b out of range")
         if self.num_eigenvectors > self.filter_length * self.num_srcs:
             raise ValueError("num_eigenvectors exceeds JL")
+        if self.weighting_conv_taps is not None:
+            t = self.weighting_conv_taps
+            if t % 2 != 1 or not 0 < t < self.block_size:
+                raise ValueError(
+                    "weighting_conv_taps must be odd and in (0, block_size)"
+                )
         if self.output_spans is not None:
             if len(self.output_spans) == 0:
                 raise ValueError("output_spans must be non-empty")

@@ -179,13 +179,10 @@ def _synthesize(config, plan, spectra, block):
     return wola_synthesize(plan.window, spectra, block)
 
 
-def weighted_spectra(config, plan, resp, target_resp):
-    """Stages 2+3 (spectral part): WOLA analysis of the target and
-    loudspeaker responses, perceptual weighting, zone gating
-    (ref apvast.py:197-209,237-262). Returns (t_spec_weighted, r_spec
-    weighted+gated, weighting)."""
-    dtype = jnp.dtype(config.dtype)
-    win = plan.window
+def target_weighting(config, plan, target_resp):
+    """WOLA analysis of the target responses + the perceptual weighting
+    derived from them (ref apvast.py:197-209,313-327). Returns
+    (t_spec, weighting)."""
     t_spec = _analyze(config, plan, target_resp)  # (2, m, bins) complex
     if config.perceptual:
         weighting = perceptual_gain(
@@ -198,14 +195,28 @@ def weighted_spectra(config, plan, resp, target_resp):
             config.weighting_norm,
         )  # (2, m, bins) real
     else:
-        weighting = jnp.ones(t_spec.shape, dtype=dtype)  # apvast.py:325-327
+        # apvast.py:325-327
+        weighting = jnp.ones(t_spec.shape, dtype=jnp.dtype(config.dtype))
+    return t_spec, weighting
 
-    r_spec = _analyze(config, plan, resp)  # (4, m, s, bins)
-    # Zone run flags gate by *signal*: paths 0,1 carry signal A, paths 2,3
-    # signal B (apvast.py:245-255). Static mask folds into the constants.
-    gate = jnp.asarray(
+
+def _signal_gate(config, dtype):
+    """Zone run flags gate by *signal*: paths 0,1 carry signal A, paths
+    2,3 signal B (apvast.py:245-255). Static; folds into constants."""
+    return jnp.asarray(
         [float(config.run_a)] * 2 + [float(config.run_b)] * 2, dtype=dtype
     )
+
+
+def weighted_spectra(config, plan, resp, target_resp):
+    """Stages 2+3 (spectral part): WOLA analysis of the target and
+    loudspeaker responses, perceptual weighting, zone gating
+    (ref apvast.py:197-209,237-262). Returns (t_spec_weighted, r_spec
+    weighted+gated, weighting)."""
+    dtype = jnp.dtype(config.dtype)
+    t_spec, weighting = target_weighting(config, plan, target_resp)
+    r_spec = _analyze(config, plan, resp)  # (4, m, s, bins)
+    gate = _signal_gate(config, dtype)
     r_spec = r_spec * gate[:, None, None, None]
     r_spec = r_spec * weighting[jnp.asarray(_PATH_ZONE)][:, :, None, :]
     return t_spec * weighting, r_spec, weighting
@@ -243,12 +254,33 @@ def process_hop(
     )
 
     # ---- 2+3. perceptual weighting of target and responses -------------
-    wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
+    if config.weighting_conv_taps is not None:
+        from apvast_tpu.ops.weighting_conv import (
+            circular_weighting_conv,
+            weighting_kernel,
+        )
+
+        # Truncated time-domain weighting: the target path stays exact
+        # (2M rows — cheap, and it feeds r), the 4MS-row response round
+        # trip becomes a banded circular convolution.
+        t_spec, weighting = target_weighting(config, plan, target_resp)
+        wt_spec = t_spec * weighting
+        kernels = weighting_kernel(
+            weighting, block, config.weighting_conv_taps, plan.idft_cos
+        )  # (2, m, T)
+        path_k = kernels[jnp.asarray(_PATH_ZONE)]  # (4, m, T)
+        gate = _signal_gate(config, dtype)
+        y = circular_weighting_conv(
+            win * resp, path_k, config.weighting_conv_taps
+        )
+        new_wr = win * (y * gate[:, None, None, None])
+    else:
+        wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
+        new_wr = _synthesize(config, plan, r_spec, block)
     new_wt = _synthesize(config, plan, wt_spec, block)
     wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
     wtarget_stat = slide(state.wtarget_stat, wt_emit)
 
-    new_wr = _synthesize(config, plan, r_spec, block)
     wresp_overlap, wr_emit = wola_overlap_add(state.wresp_overlap, new_wr, hop)
     wresp_stat = slide(state.wresp_stat, wr_emit)
 

@@ -124,6 +124,42 @@ def main():
 
     r_mats, r_cross = timeit("4 covariance (pallas fused)", jax.jit(stage4), state1)
 
+    # stage 4 alternatives: lag-correlation statistics
+    from apvast_tpu.ops.lag_statistics import covariance_via_lags
+
+    def stage4_lag(s, meth):
+        buf = jnp.concatenate(
+            [s.wresp_stat[..., :j], s.wresp_stat[..., j + 1 :]], axis=-1
+        )
+        k = buf.shape[-1] - j + 1
+        d = s.wtarget_stat[..., -k:]
+        return covariance_via_lags(buf, d, j, c0_method=meth)
+
+    for meth in ("conv", "matmul"):
+        try:
+            timeit(
+                f"4 covariance (lag {meth})",
+                jax.jit(lambda s, m=meth: stage4_lag(s, m)),
+                state1,
+            )
+        except Exception as exc:
+            print(f"4 covariance (lag {meth}) FAILED: {str(exc)[:140]}",
+                  flush=True)
+
+    # full hop with lag statistics (plan is implementation-independent)
+    import dataclasses as _dc
+
+    cfg_lag = _dc.replace(
+        cfg, use_lag_statistics=True, use_pallas_statistics=False
+    )
+    try:
+        full_lag = jax.jit(
+            lambda p, s, a, b: process_hop(cfg_lag, p, s, a, b)
+        )
+        timeit("full hop (lag statistics)", full_lag, plan, state1, hop_a, hop_b)
+    except Exception as exc:
+        print(f"full hop (lag statistics) FAILED: {str(exc)[:140]}", flush=True)
+
     # stage 5: solver
     eye = jnp.eye(cfg.num_srcs * j, dtype=jnp.float32)
     a_stack = r_mats[jnp.asarray([0, 3])]
