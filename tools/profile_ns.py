@@ -109,6 +109,48 @@ def main():
 
     timeit("2+3 weighting/WOLA/slides", jax.jit(stage23), plan, state1)
 
+    # stage 2+3 with the truncated-kernel weighting convolution
+    import dataclasses as _dc0
+
+    for taps in (257,):
+        cfg_t = _dc0.replace(cfg, weighting_conv_taps=taps)
+
+        def stage23_conv(p, s, c=cfg_t):
+            from apvast_tpu.engine.hop import (
+                _PATH_ZONE,
+                _signal_gate,
+                target_weighting,
+            )
+            from apvast_tpu.ops.weighting_conv import (
+                circular_weighting_conv,
+                weighting_kernel,
+            )
+
+            t_spec, weighting = target_weighting(c, p, s.target_resp)
+            new_wt = _synthesize(c, p, t_spec * weighting, c.block_size)
+            o1, e1 = wola_overlap_add(s.wtarget_overlap, new_wt, c.hop)
+            st1 = slide(s.wtarget_stat, e1)
+            kern = weighting_kernel(
+                weighting, c.block_size, taps, p.idft_cos
+            )
+            y = circular_weighting_conv(
+                p.window * s.resp, kern[jnp.asarray(_PATH_ZONE)], taps
+            )
+            new_wr = p.window * (
+                y * _signal_gate(c, jnp.float32)[:, None, None, None]
+            )
+            o2, e2 = wola_overlap_add(s.wresp_overlap, new_wr, c.hop)
+            st2 = slide(s.wresp_stat, e2)
+            return o1, st1, o2, st2
+
+        try:
+            timeit(
+                f"2+3 weighting conv T={taps}", jax.jit(stage23_conv), plan, state1
+            )
+        except Exception as exc:
+            print(f"2+3 weighting conv T={taps} FAILED: {str(exc)[:140]}",
+                  flush=True)
+
     # stage 4: pallas statistics
     from apvast_tpu.ops.pallas.statistics import covariance_pallas
 
@@ -159,6 +201,17 @@ def main():
         timeit("full hop (lag statistics)", full_lag, plan, state1, hop_a, hop_b)
     except Exception as exc:
         print(f"full hop (lag statistics) FAILED: {str(exc)[:140]}", flush=True)
+
+    # candidate production hop: lag statistics + truncated weighting
+    cfg_prod3 = _dc.replace(cfg_lag, weighting_conv_taps=257)
+    try:
+        full_p3 = jax.jit(
+            lambda p, s, a, b: process_hop(cfg_prod3, p, s, a, b)
+        )
+        timeit("full hop (lag + weighting conv)", full_p3, plan, state1,
+               hop_a, hop_b)
+    except Exception as exc:
+        print(f"full hop (lag + conv) FAILED: {str(exc)[:140]}", flush=True)
 
     # stage 5: solver
     eye = jnp.eye(cfg.num_srcs * j, dtype=jnp.float32)
