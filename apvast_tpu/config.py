@@ -260,6 +260,12 @@ class ApVastConfig:
     # weighting impulse response is truncated to this many taps, odd;
     # production only, quality-gated). None = exact reference path.
     weighting_conv_taps: int | None = None
+    # Frequency-domain engine only: per-bin filters span this many STFT
+    # frames (cross-frame taps). 1 = the classic per-bin formulation,
+    # whose contrast ceiling is structurally rank <= num_srcs per bin;
+    # B > 1 lifts the per-bin rank ceiling to num_srcs * B at
+    # O((S B)^3)-per-bin solver cost.
+    fd_frame_taps: int = 1
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).

@@ -66,9 +66,15 @@ class FdState:
     input_blocks: jax.Array  # (2, block)
     out_overlap: jax.Array  # (2, V, srcs, block)
     target_out_overlap: jax.Array  # (2, srcs, block)
-    # Exponentially-weighted per-bin statistics.
-    cov: jax.Array  # (4, bins, srcs, srcs) complex
-    cross: jax.Array  # (2, bins, srcs) complex
+    # Exponentially-weighted per-bin statistics; with cross-frame taps
+    # (config.fd_frame_taps = B > 1) the per-bin vectors stack the last B
+    # frames, so the covariance blocks are (S*B, S*B).
+    cov: jax.Array  # (4, bins, srcs*B, srcs*B) complex
+    cross: jax.Array  # (2, bins, srcs*B) complex
+    # Cross-frame tap history (None when B == 1): the last B-1 weighted
+    # response spectra and input spectra, most recent first.
+    spec_hist: jax.Array | None = None  # (B-1, 4, mics, srcs, bins)
+    in_spec_hist: jax.Array | None = None  # (B-1, 2, bins)
 
 
 def init_fd_state(
@@ -90,13 +96,17 @@ def init_fd_state(
     # Complex zeros are created inside a jit: the TPU runtime in this
     # environment rejects EAGER complex-typed primitives (compiled complex
     # ops are fine) — see utils docs / PERF.md environment caveat.
+    b = config.fd_frame_taps
+    sb = s * b
     make_cov = jax.jit(
         lambda: (
-            jnp.zeros((4, bins, s, s), dtype=cdtype),
-            jnp.zeros((2, bins, s), dtype=cdtype),
+            jnp.zeros((4, bins, sb, sb), dtype=cdtype),
+            jnp.zeros((2, bins, sb), dtype=cdtype),
+            jnp.zeros((b - 1, 4, m, s, bins), dtype=cdtype),
+            jnp.zeros((b - 1, 2, bins), dtype=cdtype),
         )
     )
-    cov, cross = make_cov()
+    cov, cross, spec_hist, in_spec_hist = make_cov()
     return FdState(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
         resp=resp,
@@ -106,6 +116,8 @@ def init_fd_state(
         target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
         cov=cov,
         cross=cross,
+        spec_hist=spec_hist if b > 1 else None,
+        in_spec_hist=in_spec_hist if b > 1 else None,
     )
 
 
@@ -129,10 +141,12 @@ def process_hop_fd(
     dtype = jnp.dtype(config.dtype)
     hop, block = config.hop, config.block_size
     s, v = config.num_srcs, config.num_eigenvectors
-    if v > s:
+    b = config.fd_frame_taps
+    sb = s * b
+    if v > sb:
         raise ValueError(
             f"frequency-domain span rank is per-bin: num_eigenvectors={v} "
-            f"must be <= num_srcs={s}"
+            f"must be <= num_srcs * fd_frame_taps = {sb}"
         )
     win = plan.window
 
@@ -145,12 +159,21 @@ def process_hop_fd(
 
     # ---- per-bin statistics recursion ---------------------------------
     # R_f = lambda R_f + sum_m conj(h_m) h_m^T, r_f = ... conj(h_m) d_m.
+    # With cross-frame taps the per-bin vector stacks the last B frames
+    # (tap-major), lifting the per-bin rank ceiling from S to S*B.
+    if b > 1:
+        stacked = jnp.concatenate(
+            [r_spec[None], state.spec_hist], axis=0
+        )  # (B, 4, m, s, bins), most recent first
+        h_vec = stacked.transpose(1, 2, 0, 3, 4).reshape(4, -1, sb, r_spec.shape[-1])
+    else:
+        h_vec = r_spec
     new_cov = jnp.einsum(
-        "pmsf,pmtf->pfst", jnp.conj(r_spec), r_spec
+        "pmsf,pmtf->pfst", jnp.conj(h_vec), h_vec
     )
     new_cross = jnp.einsum(
         "zmsf,zmf->zfs",
-        jnp.conj(r_spec[jnp.asarray([0, 3])]),
+        jnp.conj(h_vec[jnp.asarray([0, 3])]),
         wt_spec,
     )
     if mic_axis is not None:
@@ -162,19 +185,19 @@ def process_hop_fd(
     # ---- batched per-bin Hermitian GEVD -------------------------------
     # Zone A pencil per bin: (cov[AA], cov[AB]); zone B: (cov[BB], cov[BA]).
     bins = config.num_bins
-    a_stack = cov[jnp.asarray([0, 3])].reshape(2 * bins, s, s)
-    b_stack = cov[jnp.asarray([1, 2])].reshape(2 * bins, s, s)
+    a_stack = cov[jnp.asarray([0, 3])].reshape(2 * bins, sb, sb)
+    b_stack = cov[jnp.asarray([1, 2])].reshape(2 * bins, sb, sb)
     if reg is None:
         # Scale-invariant loading relative to each bin's dark energy.
-        trace = jnp.einsum("bss->b", b_stack).real / s
+        trace = jnp.einsum("bss->b", b_stack).real / sb
         reg_vec = config.reg_b + 1e-4 * trace
     else:
         reg_vec = jnp.full((2 * bins,), reg)
-    eye = jnp.eye(s, dtype=b_stack.dtype)
+    eye = jnp.eye(sb, dtype=b_stack.dtype)
     b_loaded = b_stack + reg_vec[:, None, None] * eye
     u, lam = jdiag_hermitian_batched(a_stack, b_loaded, 0.0)
-    u = u.reshape(2, bins, s, s)
-    lam = lam.reshape(2, bins, s)
+    u = u.reshape(2, bins, sb, sb)
+    lam = lam.reshape(2, bins, sb)
 
     # ---- per-bin variable-span synthesis ------------------------------
     # coef_i(f) = (u_i^H r_f) / (lam_i + mu); all ranks via cumsum.
@@ -197,18 +220,29 @@ def process_hop_fd(
     silenced = jnp.sum(bad_w, dtype=jnp.int32)
     w_all = jnp.where(bad_w, 0, w_all)
 
-    filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V, s, bins)
-    # Constrain to J-tap FIR filters (projection: ifft -> truncate ->
-    # fft), restoring the time-domain engine's filter structure so the
-    # WOLA output path stays alias-free.
+    filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V, s*B, bins)
+    filt_spec = filt_spec.reshape(2, v, b, s, filt_spec.shape[-1])
+    # Constrain each frame tap to a J-tap FIR filter (projection:
+    # ifft -> truncate -> fft), restoring the time-domain engine's filter
+    # structure so the WOLA output path stays alias-free.
     w_time = irfft_batched(filt_spec, block)[..., : config.filter_length]
-    filt_spec = rfft_batched(w_time, block)
+    filt_spec = rfft_batched(w_time, block)  # (2, V, B, s, bins)
 
     # ---- output synthesis (same WOLA machinery as the TD engine) ------
     input_blocks = slide(state.input_blocks, hops)
     in_spec = wola_analyze(win, input_blocks)  # (2, bins)
 
-    out_spec = in_spec[:, None, None, :] * filt_spec
+    # Cross-frame filtering: tap tau applies to the input spectrum of
+    # tau frames ago.
+    if b > 1:
+        in_stack = jnp.concatenate(
+            [in_spec[None], state.in_spec_hist], axis=0
+        )  # (B, 2, bins), most recent first
+        out_spec = jnp.einsum(
+            "zvbsf,bzf->zvsf", filt_spec, in_stack
+        )
+    else:
+        out_spec = in_spec[:, None, None, :] * filt_spec[:, :, 0]
     new_out = wola_synthesize(win, out_spec, block)
     out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
 
@@ -230,6 +264,16 @@ def process_hop_fd(
         target_out_overlap=target_out_overlap,
         cov=cov,
         cross=cross,
+        spec_hist=(
+            jnp.concatenate([r_spec[None], state.spec_hist[:-1]], axis=0)
+            if b > 1
+            else None
+        ),
+        in_spec_hist=(
+            jnp.concatenate([in_spec[None], state.in_spec_hist[:-1]], axis=0)
+            if b > 1
+            else None
+        ),
     )
     outputs = HopOutputs(
         out_a=out_vhs[0] if config.run_a else None,

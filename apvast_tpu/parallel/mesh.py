@@ -75,6 +75,8 @@ _FD_STATE_MIC_DIM = {
     "target_out_overlap": None,
     "cov": None,
     "cross": None,
+    "spec_hist": 2,  # (B-1, 4, mics, srcs, bins)
+    "in_spec_hist": None,
 }
 
 
