@@ -268,10 +268,9 @@ def process_hop(
         kernels = weighting_kernel(
             weighting, block, config.weighting_conv_taps, plan.idft_cos
         )  # (2, m, T)
-        path_k = kernels[jnp.asarray(_PATH_ZONE)]  # (4, m, T)
         gate = _signal_gate(config, dtype)
         y = circular_weighting_conv(
-            win * resp, path_k, config.weighting_conv_taps
+            win * resp, kernels, config.weighting_conv_taps
         )
         new_wr = win * (y * gate[:, None, None, None])
     else:

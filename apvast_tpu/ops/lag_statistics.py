@@ -28,30 +28,30 @@ at J lags against the weighted target (O(M S J K)).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=None)
-def _assembly_indices(j: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Static gather maps from the (a, l) diagonal tables to (tap1, tap2).
+def _shear_tables(t_tab: jax.Array) -> jax.Array:
+    """Lay the diagonal tables out as the lower-triangular (t1 >= t2)
+    part of the (J, J) blocks: M[..., t1, t2] = T[..., J-1-t1, t1-t2]
+    (garbage above the diagonal, masked by the caller).
 
-    For taps t1 >= t2 the entry lives in the pair's own table at
-    a = J-1-t1, l = t1-t2; for t1 < t2 it is the (s2, s1) table at
-    a = J-1-t2, l = t2-t1 (C^{(s1,s2)}_{a,b} = C^{(s2,s1)}_{b,a})."""
-    t1 = np.arange(j)[:, None]
-    t2 = np.arange(j)[None, :]
-    upper = (j - 1 - t1) * j + (t1 - t2)
-    lower = (j - 1 - t2) * j + (t2 - t1)
-    mask = t1 >= t2
-    return (
-        np.where(mask, upper, 0).astype(np.int32),
-        np.where(mask, 0, lower).astype(np.int32),
-        mask,
-    )
+    Gather-free: a row-dependent shift is a flatten + reshape with a
+    row stride one short of the padded width (TPU gathers lower to
+    per-row dynamic-slice loops — measured ~1.2 ms/hop on the
+    north-star scene; this is pure copies/reshapes)."""
+    j = t_tab.shape[-1]
+    a1 = jnp.flip(t_tab, axis=-2)  # A1[..., t1, l] = T[..., J-1-t1, l]
+    b1 = jnp.flip(a1, axis=-1)  # B1[..., t1, i] = A1[..., t1, J-1-i]
+    # Want M[..., t1, t2] = B1[..., t1, (J-1-t1) + t2]: pad rows to width
+    # 2J, flatten, drop the first J-1, reshape with row stride 2J-1.
+    p = jnp.pad(b1, [(0, 0)] * (b1.ndim - 1) + [(0, j)])
+    flat = p.reshape(*p.shape[:-2], 2 * j * j)
+    g = flat[..., j - 1 : j - 1 + j * (2 * j - 1)]
+    return g.reshape(*g.shape[:-1], j, 2 * j - 1)[..., :j]
 
 
 def _c0_conv(x: jax.Array, k: int) -> jax.Array:
@@ -136,12 +136,15 @@ def covariance_via_lags(
         c0 = _c0_matmul(buf, k)
 
     # ---- (ii) edge tables ----------------------------------------------
+    # Sliding windows built from J static slices of a zero-padded buffer
+    # (a 2-D gather here lowers to slow per-row dynamic slices on TPU);
+    # out-of-range pad zeros are never read: valid reads need a+l <= J-1.
+    bufp = jnp.pad(buf, [(0, 0)] * 3 + [(0, j)])
     # Right edge: PP[a, l] = sum_{i=1..a} x1[k-1+i] x2[k-1+i+l].
-    idx_r = np.minimum(
-        (k - 1) + np.arange(j)[:, None] + np.arange(j)[None, :], n - 1
-    )  # (i, l), clamped; clamped entries are never read (need a+l <= J-1)
     x1r = buf[..., k - 1 : k - 1 + j]  # (4, m, s, J)
-    h2r = buf[..., idx_r]  # (4, m, s, J, J)
+    h2r = jnp.stack(
+        [bufp[..., k - 1 + i : k - 1 + i + j] for i in range(j)], axis=-2
+    )  # (4, m, s, i=J, l=J)
     k_r = jnp.einsum(
         "pmsi,pmtil->pstil", x1r, h2r, preferred_element_type=dtype
     )  # (4, s1, s2, i, l)
@@ -150,11 +153,10 @@ def covariance_via_lags(
 
     # Left edge: PM[a, l] = sum_{u=0..a-1} x1[u] x2[u+l]; PM[0] = 0.
     if j > 1:
-        idx_l = np.minimum(
-            np.arange(j - 1)[:, None] + np.arange(j)[None, :], n - 1
-        )
         x1l = buf[..., : j - 1]  # (4, m, s, J-1)
-        h2l = buf[..., idx_l]  # (4, m, s, J-1, J)
+        h2l = jnp.stack(
+            [bufp[..., u : u + j] for u in range(j - 1)], axis=-2
+        )  # (4, m, s, u=J-1, l=J)
         k_l = jnp.einsum(
             "pmsu,pmtul->pstul", x1l, h2l, preferred_element_type=dtype
         )
@@ -167,13 +169,13 @@ def covariance_via_lags(
 
     t_tab = c0[..., None, :] + pp - pm  # (4, s1, s2, a, l)
 
-    # ---- assembly: diagonals -> (S*J, S*J) ------------------------------
-    upper_idx, lower_idx, mask = _assembly_indices(j)
-    t_flat = t_tab.reshape(p4, s, s, j * j)
-    t_swap = t_tab.transpose(0, 2, 1, 3, 4).reshape(p4, s, s, j * j)
-    r_upper = t_flat[..., jnp.asarray(upper_idx)]  # (4, s1, s2, t1, t2)
-    r_lower = t_swap[..., jnp.asarray(lower_idx)]
-    block = jnp.where(jnp.asarray(mask), r_upper, r_lower)
+    # ---- assembly: diagonals -> (S*J, S*J), gather-free -----------------
+    up = _shear_tables(t_tab)  # valid on t1 >= t2
+    low = jnp.swapaxes(
+        _shear_tables(jnp.swapaxes(t_tab, 1, 2)), -1, -2
+    )  # C^{(s1,s2)}_{a,b} = C^{(s2,s1)}_{b,a} covers t1 < t2
+    tril = np.tril(np.ones((j, j), dtype=bool))
+    block = jnp.where(jnp.asarray(tril), up, low)
     r_mats = block.transpose(0, 1, 3, 2, 4).reshape(p4, s * j, s * j)
 
     # ---- cross-correlation vectors --------------------------------------

@@ -20,22 +20,33 @@ other float32 kernels); T = block reproduces the exact path to rounding.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=None)
-def _band_index(b: int, taps: int) -> tuple[np.ndarray, np.ndarray]:
-    """Static gather map for the banded Toeplitz K[u, o] = c[o - u + h]
-    (zero outside the band), u in [0, B+T-1), o in [0, B)."""
-    u = np.arange(b + taps - 1)[:, None]
-    o = np.arange(b)[None, :]
-    tap = o - u + taps - 1  # c stored as tau = -h..h -> index 0..T-1
-    mask = (tap >= 0) & (tap < taps)
-    return np.where(mask, tap, 0).astype(np.int32), mask
+def _banded_toeplitz_t(kernels: jax.Array, b: int, taps: int) -> jax.Array:
+    """Transposed banded Toeplitz K^T[..., o, u] = cta[..., o - u + T - 1]
+    (zero outside the band), o in [0, B), u in [0, B+T-1) — built with a
+    pad-flatten-reshape shear, NO gather (a gathered build materialized
+    ~36 MB/hop of relayout copies on the north-star scene: ~1.5 ms).
+
+    kernels: (..., T) centered impulse responses (tau = -h..h)."""
+    lead = kernels.shape[:-1]
+    # G[d'] = flip(cta)[d' - (B-1)] inside the band, zero elsewhere.
+    zeros = jnp.zeros(lead + (b - 1,), dtype=kernels.dtype)
+    g = jnp.concatenate([zeros, jnp.flip(kernels, axis=-1), zeros], axis=-1)
+    l = g.shape[-1]  # 2B + T - 2
+    w = l + 1
+    # Row o reads the window starting at B-1-o: row-dependent shift ==
+    # flatten with row stride w-1 after dropping the first B-1 entries.
+    tiled = jnp.broadcast_to(g[..., None, :], lead + (b, l))
+    p = jnp.pad(tiled, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])
+    flat = p.reshape(*lead, b * w)
+    f2 = flat[..., b - 1 : b - 1 + b * (w - 1)]
+    rows = f2.reshape(*lead, b, w - 1)
+    return rows[..., : b + taps - 1]  # (..., B, B+T-1)
 
 
 def weighting_kernel(
@@ -69,23 +80,30 @@ def weighting_kernel(
 
 
 def circular_weighting_conv(
-    x: jax.Array, kernels: jax.Array, taps: int, block_b: int | None = None
+    x: jax.Array,
+    kernels: jax.Array,
+    taps: int,
+    block_b: int | None = None,
 ) -> jax.Array:
-    """Circular convolution of each row of ``x`` with its group's kernel.
+    """Circular convolution of each row of ``x`` with its zone's kernel.
 
-    x: (P, M, S, N) windowed response blocks; kernels: (P, M, T) — the
-    per-(path, mic) truncated weighting kernels (already gathered from
-    zones). Returns (P, M, S, N) = c (*) x along the last axis.
+    x: (4, M, S, N) windowed response blocks in the engine's path order
+    (path = 2*signal + zone, so a reshape exposes the zone axis — no
+    per-path kernel gather); kernels: (2, M, T) truncated per-(zone, mic)
+    weighting kernels. Returns (4, M, S, N) = c (*) x along the last
+    axis.
     """
     p, m, s, n = x.shape
+    if p != 4 or kernels.shape[0] != 2:
+        raise ValueError("expected 4 paths and 2 zone kernel sets")
     if taps >= n:
         raise ValueError("taps must be < block (use the exact path)")
     if block_b is None:
-        # Largest divisor of n not exceeding ~2*taps keeps the frame
-        # matmul square-ish; fall back to n (single frame).
+        # A frame size near the tap count keeps the banded matmul
+        # square-ish and the frame/band tensors small.
         block_b = n
-        for cand in (512, 400, 320, 256, 200, 160, 128, 100, 80):
-            if n % cand == 0 and cand >= taps // 2:
+        for cand in (160, 200, 128, 256, 100, 320, 400, 512, 80):
+            if n % cand == 0 and cand >= (taps + 1) // 2:
                 block_b = cand
                 break
     b = block_b
@@ -96,15 +114,12 @@ def circular_weighting_conv(
     xp = jnp.concatenate([x[..., n - h :], x, x[..., :h]], axis=-1)
     frames = jnp.stack(
         [xp[..., i * b : i * b + b + taps - 1] for i in range(f)], axis=-2
-    )  # (p, m, s, F, B+T-1)
+    )  # (4, m, s, F, U=B+T-1)
+    frames = frames.reshape(2, 2, m, s, f, b + taps - 1)  # (sig, zone, ...)
 
-    tap_idx, mask = _band_index(b, taps)
-    k_band = jnp.where(
-        jnp.asarray(mask), kernels[..., jnp.asarray(tap_idx)], 0.0
-    )  # (p, m, B+T-1, B)
-
+    k_t = _banded_toeplitz_t(kernels, b, taps)  # (2, m, B, U)
     y = jnp.einsum(
-        "pmsfu,pmuo->pmsfo", frames, k_band,
+        "czmsfu,zmou->czmsfo", frames, k_t,
         preferred_element_type=x.dtype,
-    )  # (p, m, s, F, B)
+    )  # (sig, zone, m, s, F, B)
     return y.reshape(p, m, s, n)

@@ -31,17 +31,19 @@ def test_conv_matches_spectral_roundtrip_for_bandlimited_kernel():
 
     p, m, s = 4, 2, 3
     x = rng.standard_normal((p, m, s, n))
-    weighting = np.broadcast_to(w, (p, m, w.shape[0])).copy()
-    # Per-(p, m) distinct scaling exercises the group mapping.
-    scales = rng.uniform(0.5, 2.0, (p, m))
+    weighting = np.broadcast_to(w, (2, m, w.shape[0])).copy()
+    # Per-(zone, mic) distinct scaling exercises the zone mapping.
+    scales = rng.uniform(0.5, 2.0, (2, m))
     weighting = weighting * scales[..., None]
 
     kern = weighting_kernel(jnp.asarray(weighting), n, taps)
     got = np.asarray(
         circular_weighting_conv(jnp.asarray(x), kern, taps)
     )
+    # Path order is 2*signal + zone: path p uses zone p % 2.
+    w_by_path = weighting[[0, 1, 0, 1]]
     want = np.fft.irfft(
-        np.fft.rfft(x, axis=-1) * weighting[:, :, None, :], n, axis=-1
+        np.fft.rfft(x, axis=-1) * w_by_path[:, :, None, :], n, axis=-1
     )
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
@@ -50,13 +52,11 @@ def test_conv_matches_spectral_roundtrip_for_bandlimited_kernel():
 def test_conv_blocking_invariance(block_b):
     rng = np.random.default_rng(9)
     n, taps = 48, 9
-    x = jnp.asarray(rng.standard_normal((2, 1, 2, n)))
+    x = jnp.asarray(rng.standard_normal((4, 1, 2, n)))
     w = jnp.asarray(rng.uniform(0.5, 1.5, (2, 1, n // 2 + 1)))
     kern = weighting_kernel(w, n, taps)
-    ref = circular_weighting_conv(x, kern[jnp.asarray([0, 1])], taps, block_b=n)
-    got = circular_weighting_conv(
-        x, kern[jnp.asarray([0, 1])], taps, block_b=block_b
-    )
+    ref = circular_weighting_conv(x, kern, taps, block_b=n)
+    got = circular_weighting_conv(x, kern, taps, block_b=block_b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
 
 

@@ -53,12 +53,12 @@ def parse_xplane(path):
 def main():
     nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     nh = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    mode = sys.argv[3] if len(sys.argv) > 3 else "prod"
     from apvast_tpu.config import GevdSolver
     from apvast_tpu.engine import build_plan, init_state, run_stream
     from apvast_tpu.utils.scenes import scale_scene
 
-    scene = scale_scene(
-        nsrc,
+    overrides = dict(
         gevd_solver=GevdSolver.SUBSPACE,
         subspace_oversample=14,
         subspace_iters=2,
@@ -69,6 +69,11 @@ def main():
         small_eigh="jacobi",
         jacobi_sweeps=3,
     )
+    if "lag" in mode:
+        overrides.update(use_lag_statistics=True, use_pallas_statistics=False)
+    if "conv" in mode:
+        overrides.update(weighting_conv_taps=257)
+    scene = scale_scene(nsrc, **overrides)
     cfg = scene.config
     plan = build_plan(cfg, scene.rir_a, scene.rir_b)
     state = init_state(cfg, key=jax.random.key(0))

@@ -133,9 +133,7 @@ def main():
             kern = weighting_kernel(
                 weighting, c.block_size, taps, p.idft_cos
             )
-            y = circular_weighting_conv(
-                p.window * s.resp, kern[jnp.asarray(_PATH_ZONE)], taps
-            )
+            y = circular_weighting_conv(p.window * s.resp, kern, taps)
             new_wr = p.window * (
                 y * _signal_gate(c, jnp.float32)[:, None, None, None]
             )
