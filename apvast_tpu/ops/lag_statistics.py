@@ -106,7 +106,7 @@ def covariance_via_lags(
     buf: jax.Array,
     d: jax.Array,
     j: int,
-    c0_method: str = "conv",
+    c0_method: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Spatial-correlation statistics from lag correlations.
 
@@ -116,8 +116,10 @@ def covariance_via_lags(
             as for the Pallas kernel path).
         d: (2, M, K) weighted target buffers aligned to the K frames.
         j: filter length J.
-        c0_method: "conv" (grouped lax.conv — production) or "matmul"
-            (explicit shift-stack einsum scanned over mics).
+        c0_method: "pallas" (in-VMEM shift-stack matmul kernel — TPU
+            float32 production), "conv" (grouped lax.conv) or "matmul"
+            (shift-stack einsum scanned over mics), or "auto" (pallas
+            on a float32 TPU trace, conv otherwise).
 
     Returns:
         (r_mats (4, S*J, S*J), r_vecs (2, S*J)) — numerically equal (up
@@ -130,36 +132,60 @@ def covariance_via_lags(
     dtype = buf.dtype
 
     # ---- (i) full-window correlations at J lags -------------------------
-    if c0_method == "conv":
+    if c0_method == "auto":
+        c0_method = (
+            "pallas"
+            if dtype == jnp.float32 and jax.default_backend() == "tpu"
+            else "conv"
+        )
+    if c0_method == "pallas":
+        from apvast_tpu.ops.pallas.lag_corr import lag_corr_pallas
+
+        c0 = lag_corr_pallas(
+            buf, j, interpret=(jax.default_backend() == "cpu")
+        )
+    elif c0_method == "conv":
         c0 = _c0_conv(buf, k)  # (4, s1, s2, J)
     else:
         c0 = _c0_matmul(buf, k)
 
     # ---- (ii) edge tables ----------------------------------------------
-    # Sliding windows built from J static slices of a zero-padded buffer
-    # (a 2-D gather here lowers to slow per-row dynamic slices on TPU);
-    # out-of-range pad zeros are never read: valid reads need a+l <= J-1.
-    bufp = jnp.pad(buf, [(0, 0)] * 3 + [(0, j)])
-    # Right edge: PP[a, l] = sum_{i=1..a} x1[k-1+i] x2[k-1+i+l].
+    # PP[a, l] = sum_{i=1..a} x1[k-1+i] x2[k-1+i+l] is a diagonal prefix
+    # sum of the mic-summed OUTER PRODUCT of the edge snippets — one
+    # (S E x M)(M x S E) matmul per edge + a gather-free diagonal shear +
+    # a cumsum, instead of sliding-window stacks (which streamed ~700
+    # us/hop of awkward slabs through VMEM on the north-star trace).
+    def _edge_tables(x1e, x2e):
+        """x1e: (4, m, s, E1), x2e: (4, m, s, E2) with E2 >= E1 + J - 1
+        conceptually (shorter is zero-padded); returns D[p, s1, s2, i, l]
+        = sum_m x1e[m,s1,i] * x2e[m,s2,i+l] for i in [0,E1), l in [0,J)."""
+        e1 = x1e.shape[-1]
+        o = jnp.einsum(
+            "pmsi,pmtv->psitv", x1e, x2e, preferred_element_type=dtype
+        )  # (4, s1, i, s2, v)
+        # Shear each (i, v) panel to diagonals: D[i, l] = O[i, i + l]
+        # == flatten with row stride E2+1 (pure reshape, no gather).
+        e2 = x2e.shape[-1]
+        need = e1 * (e2 + 1)
+        o = o.transpose(0, 1, 3, 2, 4)  # (4, s1, s2, i, v)
+        flat = o.reshape(*o.shape[:-2], e1 * e2)
+        flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, need - e1 * e2)])
+        d_tab = flat.reshape(*flat.shape[:-1], e1, e2 + 1)[..., :j]
+        return d_tab
+
+    # Right edge: i = 1..J-1 lives at buf[k-1+i]; x2 window reaches
+    # k-1+i+l <= n-1 for all read entries (a+l <= J-1).
     x1r = buf[..., k - 1 : k - 1 + j]  # (4, m, s, J)
-    h2r = jnp.stack(
-        [bufp[..., k - 1 + i : k - 1 + i + j] for i in range(j)], axis=-2
-    )  # (4, m, s, i=J, l=J)
-    k_r = jnp.einsum(
-        "pmsi,pmtil->pstil", x1r, h2r, preferred_element_type=dtype
-    )  # (4, s1, s2, i, l)
+    x2r = buf[..., k - 1 :]  # (4, m, s, J)
+    k_r = _edge_tables(x1r, x2r)  # (4, s1, s2, i, l)
     kc = jnp.cumsum(k_r, axis=3)
     pp = kc - kc[..., :1, :]
 
     # Left edge: PM[a, l] = sum_{u=0..a-1} x1[u] x2[u+l]; PM[0] = 0.
     if j > 1:
         x1l = buf[..., : j - 1]  # (4, m, s, J-1)
-        h2l = jnp.stack(
-            [bufp[..., u : u + j] for u in range(j - 1)], axis=-2
-        )  # (4, m, s, u=J-1, l=J)
-        k_l = jnp.einsum(
-            "pmsu,pmtul->pstul", x1l, h2l, preferred_element_type=dtype
-        )
+        x2l = buf[..., : 2 * j - 2]  # (4, m, s, 2J-2) covers u+l <= 2J-3
+        k_l = _edge_tables(x1l, x2l)  # (4, s1, s2, u, l)
         pm = jnp.concatenate(
             [jnp.zeros_like(k_l[..., :1, :]), jnp.cumsum(k_l, axis=3)],
             axis=3,

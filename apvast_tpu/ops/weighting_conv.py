@@ -84,6 +84,7 @@ def circular_weighting_conv(
     kernels: jax.Array,
     taps: int,
     block_b: int | None = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Circular convolution of each row of ``x`` with its zone's kernel.
 
@@ -109,6 +110,24 @@ def circular_weighting_conv(
     b = block_b
     f = n // b
     h = taps // 2
+
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if x.dtype == jnp.float32 and jax.default_backend() == "tpu"
+            else "einsum"
+        )
+    if impl == "pallas":
+        # Frames never touch HBM: the XLA einsum path below streams an
+        # O(4 M S (N+T)) frame tensor (~18 MB/hop) through VMEM slabs.
+        from apvast_tpu.ops.pallas.rowwise_conv import (
+            rowwise_circular_conv_pallas,
+        )
+
+        k_t = _banded_toeplitz_t(kernels, b, taps)
+        return rowwise_circular_conv_pallas(
+            x, k_t, taps, b, interpret=(jax.default_backend() == "cpu")
+        )
 
     # Circular pad by h on both sides, then F overlap-save frames.
     xp = jnp.concatenate([x[..., n - h :], x, x[..., :h]], axis=-1)

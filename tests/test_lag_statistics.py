@@ -100,3 +100,37 @@ def test_engine_hop_with_lag_statistics(small_scene, variant):
     np.testing.assert_allclose(
         outs["lag"], outs["base"], rtol=1e-9, atol=1e-9 * scale
     )
+
+
+def test_pallas_c0_matches_conv_interpret():
+    """The in-VMEM shift-stack kernel (interpret mode) == the conv/matmul
+    correlations, float32."""
+    from apvast_tpu.ops.lag_statistics import _c0_conv
+    from apvast_tpu.ops.pallas.lag_corr import lag_corr_pallas
+
+    rng = np.random.default_rng(13)
+    buf = jnp.asarray(
+        rng.standard_normal((4, 3, 4, 60)), dtype=jnp.float32
+    )
+    j = 9
+    k = 60 - j + 1
+    want = np.asarray(_c0_conv(buf, k))
+    got = np.asarray(lag_corr_pallas(buf, j, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_covariance_pallas_c0_end_to_end_interpret():
+    rng = np.random.default_rng(14)
+    buf = jnp.asarray(
+        rng.standard_normal((4, 2, 3, 50)), dtype=jnp.float32
+    )
+    j = 8
+    d = jnp.asarray(rng.standard_normal((2, 2, 43)), dtype=jnp.float32)
+    want_r, want_v = covariance_via_lags(buf, d, j, c0_method="conv")
+    got_r, got_v = covariance_via_lags(buf, d, j, c0_method="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(want_r), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-5
+    )

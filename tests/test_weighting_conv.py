@@ -148,3 +148,20 @@ def test_bundled_scene_contrast_within_gate():
     )
     for r in ranks:
         assert abs(base[r] - conv[r]) < 0.25, (r, base[r], conv[r])
+
+
+def test_pallas_rowwise_conv_matches_einsum_interpret():
+    """The in-VMEM row-wise kernel (interpret) == the einsum frames path,
+    float32, including the circular wrap."""
+    rng = np.random.default_rng(21)
+    n, taps, b = 64, 9, 16
+    x = jnp.asarray(rng.standard_normal((4, 2, 3, n)), dtype=jnp.float32)
+    w = jnp.asarray(
+        rng.uniform(0.5, 1.5, (2, 2, n // 2 + 1)), dtype=jnp.float32
+    )
+    kern = weighting_kernel(w, n, taps)
+    ref = circular_weighting_conv(x, kern, taps, block_b=b, impl="einsum")
+    got = circular_weighting_conv(x, kern, taps, block_b=b, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
