@@ -25,19 +25,21 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(x_ref, out_ref, z_scratch, *, s, j, k):
     mi = pl.program_id(1)
 
-    # Shift stack: Z[(s2, l), t] = x[s2, t + l] for t in [0, K).
-    for s2 in range(s):
-        for l in range(j):
-            z_scratch[s2 * j + l, :] = x_ref[0, 0, s2, l : l + k]
+    # Shift stack in l-major row order: Z[(l, s2), t] = x[s2, t + l] —
+    # J two-dimensional block copies (an (s2, l) row-by-row build is
+    # S*J copies whose unaligned lane shifts blow up Mosaic compile
+    # time at production sizes).
+    for l in range(j):
+        z_scratch[l * s : (l + 1) * s, :] = x_ref[0, 0, :, l : l + k]
 
-    # (S, K) @ (K, S*J)^T on the MXU; mic sum accumulates in the
+    # (S, K) @ (K, J*S)^T on the MXU; mic sum accumulates in the
     # revisited output block (grid iterates mics fastest).
     c = jax.lax.dot_general(
         x_ref[0, 0, :, :k],
         z_scratch[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (s1, s2*j)
+    )  # (s1, j*s2)
 
     @pl.when(mi == 0)
     def _():
@@ -86,4 +88,5 @@ def lag_corr_pallas(
             transcendentals=0,
         ),
     )(x)
-    return out.reshape(p4, s, s, j)
+    # Columns are l-major: (p, s1, J, s2) -> (p, s1, s2, J).
+    return out.reshape(p4, s, j, s).transpose(0, 1, 3, 2)
