@@ -254,6 +254,13 @@ class ApVastConfig:
     # of the data matrix for ~J-fold fewer FLOPs — same sums, different
     # order. Takes precedence over use_pallas_statistics. Any dtype.
     use_lag_statistics: bool = False
+    # Lag statistics in tap-major (J-major) row ordering — a symmetric
+    # permutation of R with an identical GEVD spectrum that lets the
+    # matrix assembly run as two wide linear shears instead of S^2 small
+    # per-pair relayouts (ops/lag_statistics.covariance_via_lags_tap).
+    # Filters are extracted with the matching (J, S) reshape. Only
+    # meaningful when use_lag_statistics is True.
+    lag_tap_major: bool = True
     # Apply the perceptual weighting to the loudspeaker responses as a
     # truncated time-domain circular convolution (ops/weighting_conv.py)
     # instead of the full spectral round trip — an APPROXIMATION (the

@@ -284,8 +284,12 @@ def process_hop(
     wresp_stat = slide(state.wresp_stat, wr_emit)
 
     # ---- 4. statistics (ref apvast.py:329-364) -------------------------
+    tap_major = config.use_lag_statistics and config.lag_tap_major
     if config.use_lag_statistics:
-        from apvast_tpu.ops.lag_statistics import covariance_via_lags
+        from apvast_tpu.ops.lag_statistics import (
+            covariance_via_lags,
+            covariance_via_lags_tap,
+        )
 
         if config.toeplitz_variant is ToeplitzVariant.PYTHON:
             buf_eff = jnp.concatenate(
@@ -295,7 +299,8 @@ def process_hop(
             buf_eff = wresp_stat
         k = buf_eff.shape[-1] - j + 1
         d = wtarget_stat[..., -k:]
-        r_mats, r_vecs = covariance_via_lags(buf_eff, d, j)
+        cov_fn = covariance_via_lags_tap if tap_major else covariance_via_lags
+        r_mats, r_vecs = cov_fn(buf_eff, d, j)
     elif config.use_pallas_statistics:
         if dtype != jnp.float32:
             raise ValueError("use_pallas_statistics requires dtype=float32")
@@ -425,8 +430,13 @@ def process_hop(
     v = config.num_solutions
 
     # w layout is source-major (w[s*j + tap]); reshape to (zone, v, s, j)
-    # == the reference's order='F' reshape (apvast.py:417).
-    filters = w_family.reshape(2, v, s, j)
+    # == the reference's order='F' reshape (apvast.py:417). In tap-major
+    # statistics mode the eigenvectors (hence w) carry the permuted
+    # (tap, src) ordering — same filters, transposed extraction.
+    if tap_major:
+        filters = w_family.reshape(2, v, j, s).swapaxes(-1, -2)
+    else:
+        filters = w_family.reshape(2, v, s, j)
 
     # ---- 6. slide input blocks (ref apvast.py:424-426) -----------------
     input_blocks = slide(state.input_blocks, hops)

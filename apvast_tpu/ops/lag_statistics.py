@@ -102,6 +102,24 @@ def _c0_matmul(x: jax.Array, k: int) -> jax.Array:
     return acc
 
 
+def _compute_c0(buf: jax.Array, j: int, c0_method: str) -> jax.Array:
+    """Dispatch the full-window correlation stage: (4, s1, s2, J)."""
+    k = buf.shape[-1] - j + 1
+    if c0_method == "auto":
+        c0_method = (
+            "pallas"
+            if buf.dtype == jnp.float32 and jax.default_backend() == "tpu"
+            else "conv"
+        )
+    if c0_method == "pallas":
+        from apvast_tpu.ops.pallas.lag_corr import lag_corr_pallas
+
+        return lag_corr_pallas(buf, j, interpret=(jax.default_backend() == "cpu"))
+    if c0_method == "conv":
+        return _c0_conv(buf, k)
+    return _c0_matmul(buf, k)
+
+
 def covariance_via_lags(
     buf: jax.Array,
     d: jax.Array,
@@ -132,52 +150,50 @@ def covariance_via_lags(
     dtype = buf.dtype
 
     # ---- (i) full-window correlations at J lags -------------------------
-    if c0_method == "auto":
-        c0_method = (
-            "pallas"
-            if dtype == jnp.float32 and jax.default_backend() == "tpu"
-            else "conv"
-        )
-    if c0_method == "pallas":
-        from apvast_tpu.ops.pallas.lag_corr import lag_corr_pallas
+    c0 = _compute_c0(buf, j, c0_method)  # (4, s1, s2, J)
 
-        c0 = lag_corr_pallas(
-            buf, j, interpret=(jax.default_backend() == "cpu")
-        )
-    elif c0_method == "conv":
-        c0 = _c0_conv(buf, k)  # (4, s1, s2, J)
-    else:
-        c0 = _c0_matmul(buf, k)
+    t_tab = lag_tables(buf, c0, j)
+    r_mats = assemble_lag_matrices(t_tab, j)
+    r_vecs = cross_lag_vectors(buf, d, j)
+    return r_mats, r_vecs
 
-    # ---- (ii) edge tables ----------------------------------------------
-    # PP[a, l] = sum_{i=1..a} x1[k-1+i] x2[k-1+i+l] is a diagonal prefix
-    # sum of the mic-summed OUTER PRODUCT of the edge snippets — one
-    # (S E x M)(M x S E) matmul per edge + a gather-free diagonal shear +
-    # a cumsum, instead of sliding-window stacks (which streamed ~700
-    # us/hop of awkward slabs through VMEM on the north-star trace).
-    def _edge_tables(x1e, x2e):
-        """x1e: (4, m, s, E1), x2e: (4, m, s, E2) with E2 >= E1 + J - 1
-        conceptually (shorter is zero-padded); returns D[p, s1, s2, i, l]
-        = sum_m x1e[m,s1,i] * x2e[m,s2,i+l] for i in [0,E1), l in [0,J)."""
-        e1 = x1e.shape[-1]
-        o = jnp.einsum(
-            "pmsi,pmtv->psitv", x1e, x2e, preferred_element_type=dtype
-        )  # (4, s1, i, s2, v)
-        # Shear each (i, v) panel to diagonals: D[i, l] = O[i, i + l]
-        # == flatten with row stride E2+1 (pure reshape, no gather).
-        e2 = x2e.shape[-1]
-        need = e1 * (e2 + 1)
-        o = o.transpose(0, 1, 3, 2, 4)  # (4, s1, s2, i, v)
-        flat = o.reshape(*o.shape[:-2], e1 * e2)
-        flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, need - e1 * e2)])
-        d_tab = flat.reshape(*flat.shape[:-1], e1, e2 + 1)[..., :j]
-        return d_tab
 
+def _edge_tables(x1e, x2e, j: int):
+    """x1e: (4, m, s, E1), x2e: (4, m, s, E2) with E2 >= E1 + J - 1
+    conceptually (shorter is zero-padded); returns D[p, s1, s2, i, l]
+    = sum_m x1e[m,s1,i] * x2e[m,s2,i+l] for i in [0,E1), l in [0,J)."""
+    dtype = x1e.dtype
+    e1 = x1e.shape[-1]
+    o = jnp.einsum(
+        "pmsi,pmtv->psitv", x1e, x2e, preferred_element_type=dtype
+    )  # (4, s1, i, s2, v)
+    # Shear each (i, v) panel to diagonals: D[i, l] = O[i, i + l]
+    # == flatten with row stride E2+1 (pure reshape, no gather).
+    e2 = x2e.shape[-1]
+    need = e1 * (e2 + 1)
+    o = o.transpose(0, 1, 3, 2, 4)  # (4, s1, s2, i, v)
+    flat = o.reshape(*o.shape[:-2], e1 * e2)
+    flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, need - e1 * e2)])
+    d_tab = flat.reshape(*flat.shape[:-1], e1, e2 + 1)[..., :j]
+    return d_tab
+
+
+def lag_tables(buf: jax.Array, c0: jax.Array, j: int) -> jax.Array:
+    """Diagonal tables T[p, s1, s2, a, l] = C_{a, a+l} from the full-window
+    correlations plus the two edge prefix corrections.
+
+    PP[a, l] = sum_{i=1..a} x1[k-1+i] x2[k-1+i+l] is a diagonal prefix
+    sum of the mic-summed OUTER PRODUCT of the edge snippets — one
+    (S E x M)(M x S E) matmul per edge + a gather-free diagonal shear +
+    a cumsum, instead of sliding-window stacks (which streamed ~700
+    us/hop of awkward slabs through VMEM on the north-star trace)."""
+    n = buf.shape[-1]
+    k = n - j + 1
     # Right edge: i = 1..J-1 lives at buf[k-1+i]; x2 window reaches
     # k-1+i+l <= n-1 for all read entries (a+l <= J-1).
     x1r = buf[..., k - 1 : k - 1 + j]  # (4, m, s, J)
     x2r = buf[..., k - 1 :]  # (4, m, s, J)
-    k_r = _edge_tables(x1r, x2r)  # (4, s1, s2, i, l)
+    k_r = _edge_tables(x1r, x2r, j)  # (4, s1, s2, i, l)
     kc = jnp.cumsum(k_r, axis=3)
     pp = kc - kc[..., :1, :]
 
@@ -185,7 +201,7 @@ def covariance_via_lags(
     if j > 1:
         x1l = buf[..., : j - 1]  # (4, m, s, J-1)
         x2l = buf[..., : 2 * j - 2]  # (4, m, s, 2J-2) covers u+l <= 2J-3
-        k_l = _edge_tables(x1l, x2l)  # (4, s1, s2, u, l)
+        k_l = _edge_tables(x1l, x2l, j)  # (4, s1, s2, u, l)
         pm = jnp.concatenate(
             [jnp.zeros_like(k_l[..., :1, :]), jnp.cumsum(k_l, axis=3)],
             axis=3,
@@ -193,27 +209,178 @@ def covariance_via_lags(
     else:
         pm = jnp.zeros_like(pp)
 
-    t_tab = c0[..., None, :] + pp - pm  # (4, s1, s2, a, l)
+    return c0[..., None, :] + pp - pm  # (4, s1, s2, a, l)
 
-    # ---- assembly: diagonals -> (S*J, S*J), gather-free -----------------
+
+def assemble_lag_matrices(t_tab: jax.Array, j: int) -> jax.Array:
+    """Diagonal tables -> (P, S*J, S*J) covariance matrices, gather-free."""
+    p4, s = t_tab.shape[0], t_tab.shape[1]
     up = _shear_tables(t_tab)  # valid on t1 >= t2
     low = jnp.swapaxes(
         _shear_tables(jnp.swapaxes(t_tab, 1, 2)), -1, -2
     )  # C^{(s1,s2)}_{a,b} = C^{(s2,s1)}_{b,a} covers t1 < t2
     tril = np.tril(np.ones((j, j), dtype=bool))
     block = jnp.where(jnp.asarray(tril), up, low)
-    r_mats = block.transpose(0, 1, 3, 2, 4).reshape(p4, s * j, s * j)
+    return block.transpose(0, 1, 3, 2, 4).reshape(p4, s * j, s * j)
 
-    # ---- cross-correlation vectors --------------------------------------
-    # r[z, s, tap] = sum_{m,t} x[pz, m, s, t + (J-1-tap)] d[z, m, t]:
-    # correlate against the zero-padded target shifted to each lag.
+
+def cross_lag_vectors(buf: jax.Array, d: jax.Array, j: int) -> jax.Array:
+    """r[z, s, tap] = sum_{m,t} x[pz, m, s, t + (J-1-tap)] d[z, m, t]:
+    correlate against the zero-padded target shifted to each lag."""
+    s = buf.shape[2]
+    r_corr = _cross_corr(buf, d, j)  # (2, s, a)
+    return jnp.flip(r_corr, axis=-1).reshape(2, s * j)
+
+
+def _cross_corr(buf: jax.Array, d: jax.Array, j: int) -> jax.Array:
+    """Raw bright-path lag correlations r_corr[z, s, a] (shared by the
+    source- and tap-major layouts; only the final flatten differs)."""
+    dtype = buf.dtype
     dp = jnp.pad(d, ((0, 0), (0, 0), (0, j - 1)))  # (2, m, n)
     d_shift = jnp.stack(
         [jnp.roll(dp, a, axis=-1) for a in range(j)], axis=2
     )  # (2, m, J, n); wrapped samples land in the zero padding
     x_bright = buf[jnp.asarray([0, 3])]  # bright paths A->A, B->B
-    r_corr = jnp.einsum(
+    return jnp.einsum(
         "zmsu,zmau->zsa", x_bright, d_shift, preferred_element_type=dtype
-    )  # (2, s, a)
-    r_vecs = jnp.flip(r_corr, axis=-1).reshape(2, s * j)
+    )
+
+
+def _shear_rows_inc(x: jax.Array, sigma: int, w_out: int) -> jax.Array:
+    """out[..., r, q] = x[..., r, q + r*sigma] — the gather-free linear
+    shear: flatten rows contiguously, then REINTERPRET with row stride
+    w + sigma (pure pad + reshape + slice). Positions reading past a
+    row's end spill into the next row's data (defined garbage) — callers
+    must consume only entries with q + r*sigma < w."""
+    *lead, r, w = x.shape
+    flat = x.reshape(*lead, r * w)
+    pad = r * (w + sigma) - r * w
+    flat = jnp.pad(flat, [(0, 0)] * len(lead) + [(0, pad)])
+    return flat.reshape(*lead, r, w + sigma)[..., :w_out]
+
+
+def _shear_rows_dec(x: jax.Array, sigma: int, w_out: int) -> jax.Array:
+    """out[..., r, q] = x[..., r, q + (R-1-r)*sigma] (spill garbage as in
+    :func:`_shear_rows_inc`): pad each row by sigma, flatten, drop the
+    leading (R-1)*sigma, reinterpret at the original row stride."""
+    *lead, r, w = x.shape
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, sigma)])
+    flat = xp.reshape(*lead, r * (w + sigma))
+    start = (r - 1) * sigma
+    flat2 = jax.lax.slice_in_dim(flat, start, start + r * w, axis=-1)
+    return flat2.reshape(*lead, r, w)[..., :w_out]
+
+
+def _shear_rows_neg(x: jax.Array, sigma: int) -> jax.Array:
+    """out[..., r, q] = x[..., r, q - r*sigma] (positions below a row's
+    start wrap into the previous row's tail/padding — defined garbage)."""
+    *lead, r, w = x.shape
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, sigma)])
+    flat = xp.reshape(*lead, r * (w + sigma))
+    flat2 = jax.lax.slice_in_dim(flat, 0, r * w, axis=-1)
+    return flat2.reshape(*lead, r, w)
+
+
+def covariance_via_lags_tap(
+    buf: jax.Array,
+    d: jax.Array,
+    j: int,
+    c0_method: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Tap-major lag statistics: R'[(t1,s1),(t2,s2)] = R[(s1,t1),(s2,t2)].
+
+    A symmetric permutation of the source-major statistics (same GEVD
+    spectrum; eigenvectors/filters permute — the engine reshapes filters
+    as (J, S) instead of (S, J)). The point of the permuted layout is the
+    assembly: the source-major layout needs a J x J diagonal shear PER
+    SOURCE PAIR (S^2 small misaligned relayouts — measured ~1.4 ms/hop at
+    SJ=1600, dwarfing the correlation math), whereas tap-major rows group
+    all sources at one tap, so the whole matrix is TWO wide row-linear
+    shears (pad+reshape+slice over contiguous (S*J*S)-wide rows), one
+    cumsum, and one 2D transpose for the symmetric upper half:
+
+      R'[t1*S+s1, t2*S+s2] = C^{(s1,s2)}_{a, a+l},  a = J-1-t1, l = t1-t2
+      C_{a,a+l} = C0[l] + sum_{i=1..a}( x1[K-1+i] x2[K-1+i+l]
+                                       - x1[i-1]  x2[i-1+l] )
+
+    The bracket is ONE einsum over a stacked (mic, edge) contraction axis
+    (right-edge and negated left-edge snippets aligned so both read the
+    same shifted column v = i+l), sheared to diagonal form and cumsummed.
+    The strict upper triangle (t2 > t1) comes from symmetry (R is a Gram
+    sum, R = R^T), via a plain (SJ, SJ) transpose + block-level select.
+
+    Args/returns as :func:`covariance_via_lags`, with both outputs in
+    tap-major ordering.
+    """
+    p4, m, s, n = buf.shape
+    k = n - j + 1
+    if d.shape[-1] != k:
+        raise ValueError(f"target buffer must have K={k} samples")
+    dtype = buf.dtype
+
+    c0 = _compute_c0(buf, j, c0_method)  # (4, s1, s2, l)
+    c0_t = c0.transpose(0, 1, 3, 2)  # (4, s1, l, s2) — small
+
+    # ---- edge-correction einsum ----------------------------------------
+    # Operand rows i = 0..J-1 (i = 0 zeroed: the a = J-1 row has no edge
+    # terms); columns v = i + l read the same shifted positions for both
+    # edges, so (mic, edge) contract jointly.
+    zero_col = jnp.zeros_like(buf[..., :1])
+    x1r = jnp.concatenate([zero_col, buf[..., k : k + j - 1]], -1)
+    x1l = jnp.concatenate([zero_col, -buf[..., : j - 1]], -1)
+    x2r = buf[..., k - 1 : k - 1 + j]  # v -> buf[k-1+v]
+    x2l = jnp.concatenate([zero_col, buf[..., : j - 1]], -1)  # v -> buf[v-1]
+    # (4, m, 2, s, j) -> operands ordered for a layout-native GEMM:
+    # output (p, i, s1, v', s2) with no operand or result transposes.
+    # The x2 column axis is REVERSED (v' = J-1-v) so that the table's
+    # l-flip is a free flip of this SMALL operand instead of a lane
+    # reversal of the 5-D tensor, and the a-flip folds into the
+    # cumulative-sum matmul below (row-reversed triangle). jnp.cumsum on
+    # a middle axis and jnp.flip on an inner axis each cost O(J) passes /
+    # sub-128-lane relayouts on TPU — measured 3.8 ms + 1.9 ms per hop at
+    # SJ=1600, dwarfing everything else in the path.
+    lhs = jnp.stack([x1r, x1l], axis=2).transpose(0, 1, 2, 4, 3)
+    rhs = jnp.flip(jnp.stack([x2r, x2l], axis=2), axis=-1)
+    rhs = rhs.transpose(0, 1, 2, 4, 3)
+    lhs = lhs.reshape(p4, 2 * m, j, s)
+    rhs = rhs.reshape(p4, 2 * m, j, s)
+    o = jnp.einsum(
+        "pcis,pcvt->pisvt", lhs, rhs, preferred_element_type=dtype
+    )  # (4, i, s1, v', s2):  o[i, s1, v', s2] = E-term at column J-1-v'
+
+    # Diagonals, l-reversed: E'[i, s1, l', s2] = E[i, s1, J-1-l', s2]
+    #  = o[i, s1, v' = l'-i, s2] — one negative-direction wide shear.
+    e_rev = _shear_rows_neg(o.reshape(p4, j, s * j * s), s)
+
+    # Cumulative sum over i as an MXU matmul against a ROW-REVERSED
+    # triangle: T_f[a'] = sum_{i <= J-1-a'} E'[i] — the a-flip is free.
+    # HIGHEST precision: statistics feed Cholesky; bf16-input matmuls
+    # would truncate the accumulation to 8 mantissa bits.
+    cum_rev = jnp.asarray(
+        np.tril(np.ones((j, j)))[::-1].copy(), dtype
+    )
+    t_f = jnp.einsum(
+        "ai,piw->paw",
+        cum_rev,
+        e_rev,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    ).reshape(p4, j, s, j, s)
+    # t_f[a', s1, l', s2] = T[J-1-a', s1, J-1-l', s2]: the doubly-flipped
+    # diagonal tables. Add the (small, flipped) full-window correlations.
+    b_tab = jnp.flip(c0_t, axis=2)[:, None] + t_f
+
+    # ---- lower half: one decreasing shear ------------------------------
+    low = _shear_rows_dec(
+        b_tab.reshape(p4, j, s * j * s), s, s * j * s
+    ).reshape(p4, j * s, j * s)
+
+    # ---- symmetric upper half ------------------------------------------
+    rows = np.arange(s * j) // s
+    mask = jnp.asarray(rows[:, None] >= rows[None, :])
+    r_mats = jnp.where(mask, low, jnp.swapaxes(low, -1, -2))
+
+    # ---- cross-correlation vectors (tap-major flatten) -----------------
+    r_corr = _cross_corr(buf, d, j)  # (2, s, a)
+    r_vecs = jnp.flip(r_corr, axis=-1).transpose(0, 2, 1).reshape(2, j * s)
     return r_mats, r_vecs

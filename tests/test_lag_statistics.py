@@ -72,15 +72,59 @@ def test_matches_dense_gram_float32():
     )
 
 
+@pytest.mark.parametrize("s,j,m,n", [(3, 16, 2, 80), (4, 7, 3, 40), (2, 1, 2, 12)])
+def test_tap_major_is_permuted_source_major(s, j, m, n):
+    """covariance_via_lags_tap == the (s,t)->(t,s) symmetric permutation
+    of the source-major statistics, to machine precision (same sums)."""
+    from apvast_tpu.ops.lag_statistics import covariance_via_lags_tap
+
+    rng = np.random.default_rng(21 + s + j)
+    buf = jnp.asarray(rng.standard_normal((4, m, s, n)))
+    k = n - j + 1
+    d = jnp.asarray(rng.standard_normal((2, m, k)))
+    r_src, v_src = covariance_via_lags(buf, d, j, c0_method="conv")
+    r_tap, v_tap = covariance_via_lags_tap(buf, d, j, c0_method="conv")
+    perm = (
+        np.asarray(r_src)
+        .reshape(4, s, j, s, j)
+        .transpose(0, 2, 1, 4, 3)
+        .reshape(4, s * j, s * j)
+    )
+    permv = np.asarray(v_src).reshape(2, s, j).transpose(0, 2, 1).reshape(2, s * j)
+    scale = np.abs(perm).max()
+    np.testing.assert_allclose(np.asarray(r_tap), perm, rtol=1e-12, atol=1e-12 * scale)
+    np.testing.assert_allclose(
+        np.asarray(v_tap), permv, rtol=1e-12, atol=1e-12 * np.abs(permv).max()
+    )
+
+
+def test_tap_major_matrices_symmetric():
+    from apvast_tpu.ops.lag_statistics import covariance_via_lags_tap
+
+    rng = np.random.default_rng(5)
+    buf = jnp.asarray(rng.standard_normal((4, 2, 3, 60)))
+    d = jnp.asarray(rng.standard_normal((2, 2, 51)))
+    r_tap, _ = covariance_via_lags_tap(buf, d, 10, c0_method="conv")
+    np.testing.assert_allclose(
+        np.asarray(r_tap),
+        np.swapaxes(np.asarray(r_tap), -1, -2),
+        rtol=0,
+        atol=1e-12 * float(jnp.abs(r_tap).max()),
+    )
+
+
+@pytest.mark.parametrize("tap", [False, True])
 @pytest.mark.parametrize("variant", list(ToeplitzVariant))
-def test_engine_hop_with_lag_statistics(small_scene, variant):
+def test_engine_hop_with_lag_statistics(small_scene, variant, tap):
     """process_hop(use_lag_statistics=True) == the einsum engine, both
-    Toeplitz variants, float64."""
+    Toeplitz variants and both row layouts, float64. The tap-major run
+    solves the GEVD on the permuted pencil, so the comparison allows for
+    eigensolver roundoff reordering (still float64-tight)."""
     from apvast_tpu.engine import build_plan, init_state, process_hop
 
     config, rir_a, rir_b = small_scene
     base = dataclasses.replace(config, toeplitz_variant=variant)
-    lag = dataclasses.replace(base, use_lag_statistics=True)
+    lag = dataclasses.replace(base, use_lag_statistics=True, lag_tap_major=tap)
 
     rng = np.random.default_rng(8)
     outs = {}
@@ -97,8 +141,9 @@ def test_engine_hop_with_lag_statistics(small_scene, variant):
             )
         outs[name] = np.asarray(out.out_a)
     scale = np.abs(outs["base"]).max()
+    tol = 1e-7 if tap else 1e-9
     np.testing.assert_allclose(
-        outs["lag"], outs["base"], rtol=1e-9, atol=1e-9 * scale
+        outs["lag"], outs["base"], rtol=tol, atol=tol * scale
     )
 
 

@@ -37,8 +37,48 @@ def _bench(fn, *args, reps=20):
     return times[0] * 1e6, times[len(times) // 2] * 1e6  # us
 
 
+def _bench_chained(fn, buf, d, iters=(8, 58), reps=3):
+    """Device time per call, tunnel-proof: run `iters` dependent calls
+    inside ONE fori_loop dispatch and difference the two iteration
+    counts, cancelling the ~25-30 ms axon round-trip that floors
+    per-dispatch timing. The data dependency (buf + 0*checksum, with the
+    zero a runtime operand so XLA cannot fold it) serializes iterations
+    without changing the values."""
+
+    def run(b, t, zero, n):
+        def body(_, carry):
+            bb, acc = carry
+            rm, rv = fn(bb, t)
+            # Full reductions: a first-element probe lets XLA dead-code
+            # the bulk of the computation out of the loop.
+            s = jnp.sum(rm) + jnp.sum(rv)
+            return (bb + zero * s, acc + s)
+
+        return jax.lax.fori_loop(0, n, body, (b, jnp.float32(0.0)))[1]
+
+    jr = jax.jit(run, static_argnums=3)
+    zero = jnp.float32(0.0)
+    walls = {}
+    for n in iters:
+        float(jr(buf, d, zero, n))  # compile + warm
+        best = min(
+            _timed(lambda: float(jr(buf, d, zero, n))) for _ in range(reps)
+        )
+        walls[n] = best
+    per = (walls[iters[1]] - walls[iters[0]]) / (iters[1] - iters[0])
+    return per * 1e6  # us/call
+
+
+def _timed(thunk):
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    chained = "--chained" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = int(argv[0]) if argv else 20
     from apvast_tpu.ops.lag_statistics import covariance_via_lags
 
     print(f"device: {jax.devices()[0].platform}", flush=True)
@@ -57,39 +97,50 @@ def main():
 
         results = {}
         want = None
-        for method in ("conv", "matmul"):
-            fn = jax.jit(
-                lambda b, t, meth=method: covariance_via_lags(
+        methods = {
+            meth: (
+                lambda b, t, meth=meth: covariance_via_lags(
                     b, t, j, c0_method=meth
                 )
             )
+            for meth in ("conv", "matmul", "lag_pallas")
+        }
+        methods["lag_pallas"] = lambda b, t: covariance_via_lags(
+            b, t, j, c0_method="pallas"
+        )
+        from apvast_tpu.ops.lag_statistics import covariance_via_lags_tap
+
+        methods["tap_pallas"] = lambda b, t: covariance_via_lags_tap(
+            b, t, j, c0_method="pallas"
+        )
+        from apvast_tpu.ops.pallas.statistics import covariance_pallas
+
+        interp = jax.default_backend() == "cpu"
+        methods["pallas"] = lambda b, t: covariance_pallas(
+            b, t, j, interpret=interp
+        )
+        if chained:
+            del methods["matmul"]  # HBM shift stacks; never competitive
+        for method, raw in methods.items():
+            fn = jax.jit(raw)
             try:
-                best, med = _bench(fn, buf, d, reps=reps)
+                if chained:
+                    per = _bench_chained(fn, buf, d)
+                    results[method] = (per, per)
+                else:
+                    best, med = _bench(fn, buf, d, reps=reps)
+                    results[method] = (best, med)
                 got = fn(buf, d)
-                if want is None:
+                if method != "pallas" and want is None:
                     want = got
-                results[method] = (best, med)
+                if method == "pallas" and want is not None:
+                    rel = float(
+                        jnp.max(jnp.abs(want[0] - got[0]))
+                        / jnp.max(jnp.abs(got[0]))
+                    )
+                    results["lag_vs_pallas_rel"] = f"{rel:.2e}"
             except Exception as exc:
                 results[method] = str(exc)[:120]
-
-        try:
-            from apvast_tpu.ops.pallas.statistics import covariance_pallas
-
-            interp = jax.default_backend() == "cpu"
-            fnp = jax.jit(
-                lambda b, t: covariance_pallas(b, t, j, interpret=interp)
-            )
-            best, med = _bench(fnp, buf, d, reps=reps)
-            results["pallas"] = (best, med)
-            rp, _ = fnp(buf, d)
-            if want is not None:
-                rel = float(
-                    jnp.max(jnp.abs(want[0] - rp))
-                    / jnp.max(jnp.abs(rp))
-                )
-                results["lag_vs_pallas_rel"] = f"{rel:.2e}"
-        except Exception as exc:
-            results["pallas"] = str(exc)[:120]
 
         print(f"--- {name} (s={s} j={j} m={m} k={k})")
         for k2, v in results.items():
