@@ -227,9 +227,15 @@ class ApVastConfig:
     # Orthogonalization inside the subspace iteration: "qr" (Householder)
     # or "cholqr2" (matmul-only CholeskyQR2 — MXU-friendly).
     subspace_orth: str = "cholqr2"
-    # Whitening: "solve" (triangular solves per application) or "invert"
+    # Whitening: "solve" (triangular solves per application), "invert"
     # (one blocked matmul-only triangular inversion per hop; see
-    # ops/trisolve.py).
+    # ops/trisolve.py), or "newton" (NO per-hop factorization: a carried
+    # Newton-Schulz approximate inverse of the dark matrix, refreshed
+    # with one matmul-only step per hop and rebuilt from a fresh
+    # Cholesky only when its residual degrades — the subspace iterates
+    # on M A and the eigenpairs come from a projected-pencil
+    # Rayleigh-Ritz, so exact statistics still set the extraction;
+    # ops/jdiag.jdiag_topk_pencil_batched).
     subspace_whiten: str = "invert"
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
@@ -257,10 +263,16 @@ class ApVastConfig:
     # Lag statistics in tap-major (J-major) row ordering — a symmetric
     # permutation of R with an identical GEVD spectrum that lets the
     # matrix assembly run as two wide linear shears instead of S^2 small
-    # per-pair relayouts (ops/lag_statistics.covariance_via_lags_tap).
-    # Filters are extracted with the matching (J, S) reshape. Only
-    # meaningful when use_lag_statistics is True.
-    lag_tap_major: bool = True
+    # per-pair relayouts (ops/lag_statistics.covariance_via_lags_tap):
+    # measured 456 us vs 550+ us source-major at SJ=800 on v5e. Filters
+    # are extracted with the matching (J, S) reshape. Only meaningful
+    # when use_lag_statistics is True. Default OFF: at float32 the
+    # permuted pencil's different Cholesky/solver rounding measurably
+    # rotates a near-degenerate top eigenpair on the north-star scene
+    # (rank-1 contrast delta 0.43 dB vs 0.08 dB source-major — outside
+    # the 0.25 dB production gate), so the speed is not worth the
+    # default.
+    lag_tap_major: bool = False
     # Apply the perceptual weighting to the loudspeaker responses as a
     # truncated time-domain circular convolution (ops/weighting_conv.py)
     # instead of the full spectral round trip — an APPROXIMATION (the

@@ -384,7 +384,35 @@ def process_hop(
         b_stack = b_stack.at[1].set(eye)
 
     gevd_q = state.gevd_q
-    if config.gevd_solver is GevdSolver.SUBSPACE:
+    gevd_minv = state.gevd_minv
+    if config.gevd_solver is GevdSolver.SUBSPACE and (
+        config.subspace_whiten == "newton"
+    ):
+        if config.use_pallas_subspace:
+            raise ValueError(
+                "use_pallas_subspace requires subspace_whiten='invert'"
+            )
+        if dtype != jnp.float32 and config.small_eigh == "jacobi":
+            raise ValueError(
+                "small_eigh='jacobi' is a float32 kernel — it would "
+                "silently degrade a float64 parity config"
+            )
+        from apvast_tpu.ops.jdiag import jdiag_topk_pencil_batched
+
+        u, lam, gevd_q, gevd_minv, silenced = jdiag_topk_pencil_batched(
+            a_stack,
+            b_stack,
+            reg,
+            v,
+            config.subspace_iters,
+            state.gevd_q,
+            state.gevd_minv,
+            config.subspace_orth,
+            config.small_eigh,
+            config.jacobi_sweeps,
+            interpret=(jax.default_backend() == "cpu"),
+        )
+    elif config.gevd_solver is GevdSolver.SUBSPACE:
         if dtype != jnp.float32 and (
             config.small_eigh == "jacobi" or config.use_pallas_subspace
         ):
@@ -501,6 +529,7 @@ def process_hop(
         out_overlap=out_overlap,
         target_out_overlap=target_out_overlap,
         gevd_q=gevd_q,
+        gevd_minv=gevd_minv,
     )
     outputs = HopOutputs(
         out_a=out_vhs[0] if config.run_a else None,

@@ -53,6 +53,10 @@ class ApVastState:
     # Carried GEVD subspace for the SUBSPACE solver, (2, jl, subspace_rank)
     # — warm-starts the next hop's iteration. None under the EIGH solver.
     gevd_q: jax.Array | None = None
+    # Carried approximate inverse of the loaded dark matrix, (2, jl, jl)
+    # — the Newton-Schulz whitening state (subspace_whiten='newton',
+    # ops/jdiag.jdiag_topk_pencil_batched). None for other modes.
+    gevd_minv: jax.Array | None = None
 
 
 def init_state(
@@ -92,12 +96,20 @@ def init_state(
         target_resp = jnp.zeros(tgt_shape, dtype=dtype)
 
     gevd_q = None
+    gevd_minv = None
     if config.gevd_solver is GevdSolver.SUBSPACE:
         # Deterministic full-rank cold-start subspace; the per-hop QR
         # iterations orthonormalize and converge it during stream warmup.
         gevd_q = jax.random.normal(
             jax.random.key(7), (2, config.jl, config.subspace_rank), dtype=dtype
         )
+        if config.subspace_whiten == "newton":
+            # Identity is a deliberately bad inverse: hop 1's residual
+            # check fails and takes the rebuild branch, seeding M from a
+            # real factorization.
+            gevd_minv = jnp.broadcast_to(
+                jnp.eye(config.jl, dtype=dtype), (2, config.jl, config.jl)
+            )
 
     return ApVastState(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
@@ -111,4 +123,5 @@ def init_state(
         out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
         target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
         gevd_q=gevd_q,
+        gevd_minv=gevd_minv,
     )

@@ -279,6 +279,137 @@ def jdiag_topk_batched(
     return u, dd, ritz, jnp.sum(silenced, dtype=jnp.int32)
 
 
+def jdiag_topk_pencil_batched(
+    A: jax.Array,
+    B: jax.Array,
+    reg: float | jax.Array,
+    num_vectors: int,
+    iters: int,
+    q_init: jax.Array,
+    m_init: jax.Array,
+    orth: str = "cholqr2",
+    small_eigh: str = "lapack",
+    jacobi_sweeps: int = 4,
+    newton_steps: int = 1,
+    resid_max: float = 0.7,
+    interpret: bool = False,
+):
+    """Top-k GEVD without a per-hop full Cholesky: carried Newton inverse.
+
+    The 'invert' whitening path re-factorizes the (n, n) dark matrix every
+    hop (XLA's blocked Cholesky custom call: ~290 us/hop of latency-bound
+    128-panel calls on the north-star trace — the single largest solver
+    op). This variant instead CARRIES an approximate inverse M ~= B^-1
+    across hops and keeps it current with one Newton-Schulz step
+    M <- M (2I - B M) per hop — two (n, n, n) MXU matmuls with quadratic
+    self-correction, no factorization. The subspace iterates on the
+    operator M A (inexactness is absorbed by the Rayleigh-Ritz step), and
+    the small (k, k) eigenproblem is solved as a projected PENCIL
+    (Q^T A Q, Q^T B Q) — exact A/B enter at HIGHEST precision, so M's
+    residual error never touches the extracted eigenpairs beyond the
+    subspace angle.
+
+    Self-healing: when the scaled residual ||I - B M||_F exceeds
+    ``resid_max`` (cold start, signal onsets, NaN-poisoned M), ONE shared
+    lax.cond branch rebuilds M from a fresh Cholesky + blocked triangular
+    inversion — the old per-hop cost, paid only on those hops.
+
+    Contract matches :func:`jdiag_topk_batched`: returns
+    ``(u, d, q_next, m_next, silenced)`` with ``U^T (B + reg I) U = I``
+    and d descending. ``q_init``/``m_init`` are the carried subspace
+    (z, n, k) and approximate inverse (z, n, n); initialize M with
+    identity (the first hop takes the rebuild branch by design).
+    """
+    from apvast_tpu.ops.trisolve import (
+        neumann_tri_inverse,
+        triangular_inverse,
+    )
+
+    z, n, _ = A.shape
+    dtype = A.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    b_l = B + reg * eye
+    hi = jax.lax.Precision.HIGH
+    hst = jax.lax.Precision.HIGHEST
+
+    # ---- carried-inverse refresh or rebuild (one cond for the batch:
+    # under vmap a cond becomes a select that executes BOTH branches,
+    # so the decision is shared and the branches operate batched) ------
+    resid = eye - jnp.matmul(b_l, m_init, precision=hi)
+    rn = jnp.sqrt(jnp.sum(jnp.square(resid), axis=(-2, -1)))  # (z,) Frob
+    worst = jnp.max(rn)
+    healthy = jnp.isfinite(worst) & (worst < resid_max)
+
+    def _newton(_):
+        m = m_init + jnp.matmul(m_init, resid, precision=hi)
+        for _ in range(newton_steps - 1):
+            r = eye - jnp.matmul(b_l, m, precision=hi)
+            m = m + jnp.matmul(m, r, precision=hi)
+        return m
+
+    def _rebuild(_):
+        chol = jnp.linalg.cholesky(b_l)
+        li = triangular_inverse(chol)
+        return jnp.matmul(li.swapaxes(-1, -2), li, precision=hi)
+
+    m = jax.lax.cond(healthy, _newton, _rebuild, None)
+    m = 0.5 * (m + m.swapaxes(-1, -2))
+
+    # ---- subspace iteration on M A -----------------------------------
+    orthon = _cholqr2 if orth == "cholqr2" else (lambda x: jnp.linalg.qr(x)[0])
+    q = q_init
+    for _ in range(iters):
+        aq = jnp.matmul(A, q, precision=hi)
+        q = jax.vmap(orthon)(jnp.matmul(m, aq, precision=hi))
+
+    # ---- pencil Rayleigh-Ritz (exact A, B at HIGHEST) ----------------
+    k = q.shape[-1]
+    qt = q.swapaxes(-1, -2)
+    abar = jnp.matmul(qt, jnp.matmul(A, q, precision=hst), precision=hst)
+    bbar = jnp.matmul(qt, jnp.matmul(b_l, q, precision=hst), precision=hst)
+    abar = 0.5 * (abar + abar.swapaxes(-1, -2))
+    bbar = 0.5 * (bbar + bbar.swapaxes(-1, -2))
+    eyek = jnp.eye(k, dtype=dtype)
+    # Trace-relative, DTYPE-SCALED jitter: Q is orthonormalized and B
+    # loaded, so bbar is PD in exact arithmetic; the jitter only covers
+    # roundoff on warmup hops. A fixed 1e-7 would bias float64
+    # eigenvalues at the 1e-6 relative level (measured).
+    tr = jnp.einsum("zii->z", bbar) / k
+    jit_rel = 8.0 * float(jnp.finfo(dtype).eps)
+    lb = jnp.linalg.cholesky(bbar + (jit_rel * tr)[:, None, None] * eyek)
+    lib = neumann_tri_inverse(lb)
+    white = jnp.matmul(
+        jnp.matmul(lib, abar, precision=hst),
+        lib.swapaxes(-1, -2),
+        precision=hst,
+    )
+    white = 0.5 * (white + white.swapaxes(-1, -2))
+    if small_eigh == "jacobi":
+        from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh
+
+        d, v = jacobi_eigh(white, sweeps=jacobi_sweeps, interpret=interpret)
+    else:
+        d, v = jnp.linalg.eigh(white)  # ascending
+    ubar = jnp.matmul(lib.swapaxes(-1, -2), v, precision=hst)
+    d_desc = d[..., ::-1][..., :num_vectors]
+    u = jnp.matmul(q, ubar[..., ::-1][..., :num_vectors], precision=hst)
+    # Carry: Ritz-rotated subspace (descending), euclidean-orthonormal
+    # because v is orthonormal and q is.
+    ritz = jnp.matmul(q, v[..., ::-1], precision=hst)
+
+    bad_u = ~jnp.isfinite(u)
+    bad_d = ~jnp.isfinite(d_desc)
+    silenced = jnp.sum(bad_u, dtype=jnp.int32) + jnp.sum(
+        bad_d, dtype=jnp.int32
+    )
+    ritz = jnp.where(jnp.isfinite(ritz), ritz, q_init)
+    u = jnp.where(bad_u, 0, u)
+    d_desc = jnp.where(bad_d, 0, d_desc)
+    # A NaN M self-heals: next hop's residual is NaN -> not healthy ->
+    # rebuild branch. No guard needed on the carry itself.
+    return u, d_desc, ritz, m, silenced
+
+
 def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
     """Joint diagonalization of a complex Hermitian-PSD pencil.
 

@@ -225,3 +225,54 @@ def test_spectral_norm_matches_exact():
     want = float(np.linalg.norm(big.astype(np.float64), 2))
     assert np.isfinite(got) and got > 0
     assert abs(got - want) / want < 1e-2, (got, want)
+
+
+def test_pencil_newton_matches_dense(rng):
+    """jdiag_topk_pencil_batched: cold start takes the rebuild branch,
+    subsequent drifted hops take the Newton branch; eigenvalues and
+    B-orthonormality match the dense solver throughout (float64)."""
+    from apvast_tpu.ops.jdiag import jdiag_topk_pencil_batched
+
+    n, k, top = 64, 24, 10
+    a0, b0 = _random_psd_pair(rng, n)
+    a1, b1 = _random_psd_pair(rng, n)
+    a = jnp.asarray(np.stack([a0, a1]))
+    b = jnp.asarray(np.stack([b0, b1]))
+    q = jnp.asarray(rng.standard_normal((2, n, k)))
+    m = jnp.broadcast_to(jnp.eye(n), (2, n, n))
+
+    for hop in range(6):
+        # Slow pencil drift, as across engine hops.
+        a = a + 0.02 * jnp.eye(n) * jnp.trace(a[0]) / n
+        u, d, q, m, silenced = jdiag_topk_pencil_batched(
+            a, b, 1e-7, top, 20 if hop == 0 else 4, q, m
+        )
+        assert int(silenced) == 0
+    for z in range(2):
+        u_ref, d_ref = jdiag(a[z], b[z], 1e-7)
+        np.testing.assert_allclose(
+            np.asarray(d[z]), np.asarray(d_ref)[:top], rtol=1e-8
+        )
+        # Contract: U^T (B + reg I) U = I on the kept columns.
+        bl = np.asarray(b[z]) + 1e-7 * np.eye(n)
+        gram = np.asarray(u[z]).T @ bl @ np.asarray(u[z])
+        np.testing.assert_allclose(gram, np.eye(top), atol=1e-8)
+    # Steady state must be on the Newton branch: the carried M is a real
+    # inverse now (residual far below the rebuild threshold).
+    resid = np.eye(n) - np.asarray(b[0] + 1e-7 * jnp.eye(n)) @ np.asarray(m[0])
+    assert np.linalg.norm(resid) < 1e-6
+
+
+def test_engine_newton_whiten_matches_eigh(small_scene):
+    """Engine-level: subspace_whiten='newton' reproduces the exact
+    solver's rank-1 contrast like the 'invert' path does."""
+    cfg, rir_a, rir_b = small_scene
+    exact = _contrast_after(cfg, rir_a, rir_b)
+    newton_cfg = dataclasses.replace(
+        cfg,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_iters=8,
+        subspace_whiten="newton",
+    )
+    approx = _contrast_after(newton_cfg, rir_a, rir_b)
+    assert abs(exact - approx) < 0.3, f"contrast {exact:.2f} vs {approx:.2f} dB"

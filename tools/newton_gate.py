@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Quality gate + sustained speed for subspace_whiten='newton' vs 'invert'
+on the north-star scene (16 spk, perceptual ON, float32, one chip)."""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from solver_knobs import contrasts, sustained  # noqa: E402
+
+from apvast_tpu.config import GevdSolver  # noqa: E402
+from apvast_tpu.engine import build_plan  # noqa: E402
+from apvast_tpu.utils.scenes import scale_scene  # noqa: E402
+
+
+def main():
+    nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    scene = scale_scene(
+        nsrc,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=14,
+        subspace_iters=2,
+        use_pallas_statistics=True,
+        use_pallas_output=True,
+        use_pallas_conv=True,
+        use_matmul_dft=True,
+        small_eigh="jacobi",
+        jacobi_sweeps=3,
+    )
+    base = scene.config
+    plan = build_plan(base, scene.rir_a, scene.rir_b)
+    ranks = [0, base.num_eigenvectors - 1]
+    print(f"device: {jax.devices()[0].platform}", flush=True)
+
+    exact_cfg = dataclasses.replace(base, gevd_solver=GevdSolver.EIGH)
+    exact = contrasts(exact_cfg, plan, scene.rir_a, scene.rir_b, ranks)
+    print(
+        f"exact: rank1 {exact[0]:.3f} rankV {exact[ranks[1]]:.3f}", flush=True
+    )
+
+    for name, over in (
+        ("invert(prod r2)", {}),
+        ("newton", dict(subspace_whiten="newton")),
+        ("newton_it3", dict(subspace_whiten="newton", subspace_iters=3)),
+    ):
+        cfg = dataclasses.replace(base, **over)
+        try:
+            c = contrasts(cfg, plan, scene.rir_a, scene.rir_b, ranks)
+            d1 = abs(c[0] - exact[0])
+            dv = abs(c[ranks[1]] - exact[ranks[1]])
+            ok = d1 < 0.25 and dv < 0.25
+            ms = sustained(cfg, plan)
+            print(
+                f"  {name:16s} delta1 {d1:.4f} deltaV {dv:.4f} "
+                f"[{'OK' if ok else 'FAIL'}]  {ms:.3f} ms/hop",
+                flush=True,
+            )
+        except Exception as exc:
+            print(f"  {name:16s} FAILED: {str(exc)[:200]}", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
