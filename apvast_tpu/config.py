@@ -229,13 +229,21 @@ class ApVastConfig:
     subspace_orth: str = "cholqr2"
     # Whitening: "solve" (triangular solves per application), "invert"
     # (one blocked matmul-only triangular inversion per hop; see
-    # ops/trisolve.py), or "newton" (NO per-hop factorization: a carried
-    # Newton-Schulz approximate inverse of the dark matrix, refreshed
-    # with one matmul-only step per hop and rebuilt from a fresh
-    # Cholesky only when its residual degrades — the subspace iterates
-    # on M A and the eigenpairs come from a projected-pencil
-    # Rayleigh-Ritz, so exact statistics still set the extraction;
-    # ops/jdiag.jdiag_topk_pencil_batched).
+    # ops/trisolve.py), or "newton" (a carried Newton-Schulz approximate
+    # inverse of the dark matrix, refreshed matmul-only per hop and
+    # rebuilt from a fresh Cholesky when its residual degrades; exact
+    # statistics still set the extraction via a projected-pencil
+    # Rayleigh-Ritz; ops/jdiag.jdiag_topk_pencil_batched). MEASURED
+    # caveat: at the default hop = statistics_buffer/1.25 turnover the
+    # windowed statistics change ~80% per hop and the carried inverse's
+    # residual lands at 15-30 every hop — the rebuild branch always
+    # fires, making "newton" equivalent to "invert" plus one wasted
+    # n^3 residual matmul. It only pays for small-hop / long-buffer
+    # streaming configs (hop << statistics_buffer_length). A
+    # stale-preconditioner variant (rebuild every T hops) was measured
+    # on recorded north-star pencils and rejected: rank-1 filter error
+    # 0.05-0.14 vs 1e-4 for per-hop factorization (sample-noise B
+    # fluctuations rotate the iteration operator's invariant subspace).
     subspace_whiten: str = "invert"
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused

@@ -82,11 +82,26 @@ def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
         )(chol.reshape(-1, n, n)).reshape(chol.shape)
 
     b = n // num_blocks
-    # Diagonal blocks: (nb, b, b) — inverted together with matmul-only
-    # Neumann doubling (the substitution custom call is latency-bound).
+    # Diagonal blocks: (nb, b, b). Small blocks are inverted together
+    # with matmul-only Neumann doubling (the substitution custom call is
+    # latency-bound); blocks past 50 rows go through ONE batched
+    # substitution instead — the scaled strictly-lower part M of an RIR
+    # covariance Cholesky factor has entries up to ~(max diag / min
+    # diag) ~ 7, and the doubling's intermediate powers M^(2^j) grow
+    # like 7^b before the nilpotent cutoff: ~7^50 ~ 1e42 sits just under
+    # the float32 ceiling (measured working at JL = 800, b = 50), while
+    # b = 100 at JL = 1600 overflows to inf and silenced EVERY hop of
+    # the 32-speaker scene. The batched solve amortizes its latency
+    # across the nb blocks.
     blocks = chol.reshape(num_blocks, b, num_blocks, b)
     diag_ii = jnp.einsum("ixiy->ixy", blocks)  # (nb, b, b)
-    inv_diag = neumann_tri_inverse(diag_ii)
+    if b <= 50:
+        inv_diag = neumann_tri_inverse(diag_ii)
+    else:
+        eye_b = jnp.eye(b, dtype=chol.dtype)
+        inv_diag = solve_triangular(
+            diag_ii, jnp.broadcast_to(eye_b, diag_ii.shape), lower=True
+        )
 
     # Assemble block-diagonal inverse, then merge pairwise upward.
     x = jnp.zeros_like(chol)
@@ -106,7 +121,14 @@ def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
             x11 = x[r0:r1, r0:r1]
             x22 = x[r1:r2, r1:r2]
             l21 = chol[r1:r2, r0:r1]
-            x21 = -jnp.matmul(x22, jnp.matmul(l21, x11))
+            # HIGH precision: a bf16 single-pass product here would cap
+            # the whole inverse (hence the whitened operator and the
+            # back-transform) at ~1e-2 relative accuracy.
+            x21 = -jnp.matmul(
+                x22,
+                jnp.matmul(l21, x11, precision=jax.lax.Precision.HIGH),
+                precision=jax.lax.Precision.HIGH,
+            )
             x = x.at[r1:r2, r0:r1].set(x21)
         size *= 2
     return x

@@ -127,6 +127,29 @@ def test_triangular_inverse(rng):
         assert np.allclose(np.triu(li, 1), 0.0)
 
 
+def test_triangular_inverse_jl1600_float32(rng):
+    """Regression: at n = 1600 the 16-way blocking gives 100-row diagonal
+    blocks, whose Neumann-doubling intermediate powers overflow float32
+    (measured inf on the 32-speaker scene's real Cholesky factors —
+    every hop silenced). Large blocks must take the batched-substitution
+    path and stay finite at float32 on an RIR-covariance-like factor."""
+    from apvast_tpu.ops.trisolve import triangular_inverse
+
+    n = 1600
+    # Spatially-correlated-covariance-like spectrum: fast-decaying
+    # eigenvalues with a small relative floor, scaled tiny like the
+    # 94 dB SPL-calibrated scenes.
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    ev = 1e-6 * (np.geomspace(1.0, 1e-6, n) + 1e-6)
+    spd = (q * ev) @ q.T
+    spd = 0.5 * (spd + spd.T) + 1e-9 * np.eye(n)
+    chol = np.linalg.cholesky(spd).astype(np.float32)
+    li = np.asarray(triangular_inverse(jnp.asarray(chol)))
+    assert np.isfinite(li).all()
+    resid = li.astype(np.float64) @ chol.astype(np.float64) - np.eye(n)
+    assert np.abs(resid).max() < 1e-2, np.abs(resid).max()
+
+
 def test_neumann_tri_inverse(rng):
     """Matmul-only triangular inversion: exact on well-conditioned
     factors AND on the Cholesky factor of an ill-conditioned covariance
