@@ -225,12 +225,14 @@ def measure(device: str) -> int:
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))
 
-    # 128 hops per dispatch measures sustained streaming throughput (the
-    # tunnel costs ~9 ms per dispatch regardless of stream length; the
-    # baseline's 2.2 s/hop is likewise a steady-state number).
-    num_hops = 16 if device == "cpu" else 128
+    # Long streams per dispatch measure sustained streaming throughput:
+    # the tunnel costs ~30 ms per dispatch regardless of stream length
+    # (measured NH sweep, tools/nh_sweep.py), and the baseline's
+    # 2.2 s/hop is likewise a steady-state number. Dispatch latency is
+    # reported separately below.
+    num_hops = 16 if device == "cpu" else 256
     rtf, rtf_med, _, silenced = _measure_scene(
-        cfg, plan, state, num_hops, reps=5
+        cfg, plan, state, num_hops, reps=6
     )
 
     result = {
@@ -287,8 +289,11 @@ def measure_north_star() -> int:
     ns = scale_scene(16, **_production_overrides("tpu"))
     ns_plan = build_plan(ns.config, ns.rir_a, ns.rir_b)
     ns_state = init_state(ns.config, key=jax.random.key(0))
+    # 512 hops/dispatch: the ~30-35 ms fixed tunnel dispatch cost reads
+    # as +0.24 ms/hop at 128 hops but +0.07 at 512 (tools/nh_sweep.py:
+    # 1.762 / 1.645 / 1.576 ms/hop at NH = 128 / 256 / 512).
     rtf, rtf_med, per_hop_ms, silenced = _measure_scene(
-        ns.config, ns_plan, ns_state, num_hops=256, reps=6
+        ns.config, ns_plan, ns_state, num_hops=512, reps=8
     )
     print(
         json.dumps(

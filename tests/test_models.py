@@ -246,6 +246,58 @@ def test_long_run_stability(rng):
 
 
 @pytest.mark.slow
+def test_scale_scene_32_speakers_float32_subspace():
+    """Regression: the float32 PRODUCTION solver (subspace + invert
+    whitening) at JL = 1600. Before the triangular_inverse large-block
+    fix the blocked Neumann inversion overflowed to inf on every hop and
+    the NaN guards silenced 100% of the outputs — the exact-solver test
+    below never exercised this path. Full mic array and statistics
+    buffer (the float32 conditioning case), lag statistics (the
+    tractable CPU path at this scale)."""
+    import dataclasses
+
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.utils.scenes import scale_scene
+
+    scene = scale_scene(
+        32,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=14,
+        subspace_iters=2,
+        use_lag_statistics=True,
+        use_matmul_dft=True,
+    )
+    cfg = scene.config
+    assert cfg.jl == 1600 and cfg.dtype == "float32"
+    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    local = np.random.default_rng(5)
+    outs = []
+    for _ in range(5):
+        state, out = fn(
+            state,
+            jnp.asarray(local.standard_normal(cfg.hop), jnp.float32),
+            jnp.asarray(local.standard_normal(cfg.hop), jnp.float32),
+        )
+        assert int(out.silenced) == 0
+        outs.append(np.asarray(out.out_a))
+    feeds = np.concatenate([o[0] for o in outs[3:]], axis=0)
+    assert np.isfinite(feeds).all() and np.abs(feeds).max() > 0
+    contrast = float(
+        acoustic_contrast_db(
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_a)),
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(scene.rir_b)),
+        )
+    )
+    # CPU gate run (tools/r3_quality_cpu.py): rank-1 contrast matches the
+    # exact solver to 1e-4 dB at this geometry (~14.4 dB after warmup);
+    # a loose floor here keeps the 2-warmup-hop test robust.
+    assert np.isfinite(contrast) and contrast > 5.0, contrast
+
+
+@pytest.mark.slow
 def test_scale_scene_32_speakers_jl1600():
     """BASELINE.json config 5 (32-loudspeaker TPU-scale sweep): the
     engine runs the JL = 1600 pencil end-to-end (exact solver, float32)
