@@ -268,19 +268,21 @@ class ApVastConfig:
     # of the data matrix for ~J-fold fewer FLOPs — same sums, different
     # order. Takes precedence over use_pallas_statistics. Any dtype.
     use_lag_statistics: bool = False
-    # Lag statistics in tap-major (J-major) row ordering — a symmetric
-    # permutation of R with an identical GEVD spectrum that lets the
-    # matrix assembly run as two wide linear shears instead of S^2 small
-    # per-pair relayouts (ops/lag_statistics.covariance_via_lags_tap):
-    # measured 456 us vs 550+ us source-major at SJ=800 on v5e. Filters
-    # are extracted with the matching (J, S) reshape. Only meaningful
-    # when use_lag_statistics is True. Default OFF: at float32 the
-    # permuted pencil's different Cholesky/solver rounding measurably
-    # rotates a near-degenerate top eigenpair on the north-star scene
-    # (rank-1 contrast delta 0.43 dB vs 0.08 dB source-major — outside
-    # the 0.25 dB production gate), so the speed is not worth the
-    # default.
-    lag_tap_major: bool = False
+    # How the lag tables become the (SJ, SJ) matrices (only meaningful
+    # when use_lag_statistics is True):
+    #  - "wide" (default): tap-major assembly — two wide row-linear
+    #    shears + one MXU matmul-cumsum — then ONE 4-D transpose back to
+    #    source-major ordering, so the solver sees the same entry values
+    #    in the same ordering the per-pair path is validated on.
+    #  - "pair": source-major per-source-pair diagonal shears (S^2 small
+    #    sub-128-lane relayouts; ~1.4 ms/hop at SJ=1600).
+    #  - "tap": tap-major assembly AND tap-major output ordering (filters
+    #    extracted with the matching (J, S) reshape). Fastest, but the
+    #    symmetrically-permuted pencil's different Cholesky rounding
+    #    measurably rotates a near-degenerate top eigenpair on the
+    #    north-star scene (rank-1 contrast delta 0.43 dB vs 0.08 dB
+    #    source-major — outside the 0.25 dB production gate).
+    lag_assembly: str = "wide"
     # Apply the perceptual weighting to the loudspeaker responses as a
     # truncated time-domain circular convolution (ops/weighting_conv.py)
     # instead of the full spectral round trip — an APPROXIMATION (the

@@ -284,11 +284,12 @@ def process_hop(
     wresp_stat = slide(state.wresp_stat, wr_emit)
 
     # ---- 4. statistics (ref apvast.py:329-364) -------------------------
-    tap_major = config.use_lag_statistics and config.lag_tap_major
+    tap_major = config.use_lag_statistics and config.lag_assembly == "tap"
     if config.use_lag_statistics:
         from apvast_tpu.ops.lag_statistics import (
             covariance_via_lags,
             covariance_via_lags_tap,
+            covariance_via_lags_wide,
         )
 
         if config.toeplitz_variant is ToeplitzVariant.PYTHON:
@@ -299,7 +300,11 @@ def process_hop(
             buf_eff = wresp_stat
         k = buf_eff.shape[-1] - j + 1
         d = wtarget_stat[..., -k:]
-        cov_fn = covariance_via_lags_tap if tap_major else covariance_via_lags
+        cov_fn = {
+            "tap": covariance_via_lags_tap,
+            "pair": covariance_via_lags,
+            "wide": covariance_via_lags_wide,
+        }[config.lag_assembly]
         r_mats, r_vecs = cov_fn(buf_eff, d, j)
     elif config.use_pallas_statistics:
         if dtype != jnp.float32:

@@ -281,6 +281,38 @@ def _shear_rows_neg(x: jax.Array, sigma: int) -> jax.Array:
     return flat2.reshape(*lead, r, w)
 
 
+def covariance_via_lags_wide(
+    buf: jax.Array,
+    d: jax.Array,
+    j: int,
+    c0_method: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Source-major statistics through the TAP-MAJOR assembly.
+
+    :func:`covariance_via_lags` pays S^2 small per-source-pair diagonal
+    shears (sub-128-lane relayouts — ~1.4 ms/hop at SJ=1600);
+    :func:`covariance_via_lags_tap` assembles in two WIDE row-linear
+    shears + one MXU matmul-cumsum, but hands the solver a
+    symmetrically-PERMUTED pencil whose different Cholesky rounding
+    measurably rotates a near-degenerate top eigenpair (0.43 dB rank-1
+    contrast delta on the north-star scene — outside the production
+    gate). This variant takes the fast assembly and then RELABELS the
+    result back to source-major ordering with one (J,S,J,S)->(S,J,S,J)
+    transpose (~2x matrix traffic): the solver sees the same entry
+    values in the same ordering as the per-pair path, so its rounding
+    matches the validated configuration, at the wide assembly's speed.
+    """
+    r_tap, _ = covariance_via_lags_tap(buf, d, j, c0_method)
+    p4, s = buf.shape[0], buf.shape[2]
+    r_mats = (
+        r_tap.reshape(p4, j, s, j, s)
+        .transpose(0, 2, 1, 4, 3)
+        .reshape(p4, s * j, s * j)
+    )
+    r_vecs = cross_lag_vectors(buf, d, j)
+    return r_mats, r_vecs
+
+
 def covariance_via_lags_tap(
     buf: jax.Array,
     d: jax.Array,

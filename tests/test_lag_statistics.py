@@ -113,18 +113,40 @@ def test_tap_major_matrices_symmetric():
     )
 
 
-@pytest.mark.parametrize("tap", [False, True])
+def test_wide_equals_pair_assembly():
+    """covariance_via_lags_wide: same VALUES in the same source-major
+    ordering as the per-pair path (the tap-major compute differs only in
+    edge-cumsum summation order — f32-tight)."""
+    from apvast_tpu.ops.lag_statistics import covariance_via_lags_wide
+
+    rng = np.random.default_rng(31)
+    s, j, m, n = 4, 9, 3, 70
+    buf = jnp.asarray(rng.standard_normal((4, m, s, n)))
+    d = jnp.asarray(rng.standard_normal((2, m, n - j + 1)))
+    r_pair, v_pair = covariance_via_lags(buf, d, j, c0_method="conv")
+    r_wide, v_wide = covariance_via_lags_wide(buf, d, j, c0_method="conv")
+    scale = float(jnp.abs(r_pair).max())
+    np.testing.assert_allclose(
+        np.asarray(r_wide), np.asarray(r_pair), rtol=1e-12, atol=1e-12 * scale
+    )
+    np.testing.assert_allclose(np.asarray(v_wide), np.asarray(v_pair), rtol=1e-12)
+
+
+@pytest.mark.parametrize("assembly", ["pair", "wide", "tap"])
 @pytest.mark.parametrize("variant", list(ToeplitzVariant))
-def test_engine_hop_with_lag_statistics(small_scene, variant, tap):
+def test_engine_hop_with_lag_statistics(small_scene, variant, assembly):
     """process_hop(use_lag_statistics=True) == the einsum engine, both
-    Toeplitz variants and both row layouts, float64. The tap-major run
-    solves the GEVD on the permuted pencil, so the comparison allows for
-    eigensolver roundoff reordering (still float64-tight)."""
+    Toeplitz variants and all assembly layouts, float64. The tap-major
+    run solves the GEVD on the permuted pencil, so the comparison allows
+    for eigensolver roundoff reordering (still float64-tight)."""
     from apvast_tpu.engine import build_plan, init_state, process_hop
 
     config, rir_a, rir_b = small_scene
+    tap = assembly == "tap"
     base = dataclasses.replace(config, toeplitz_variant=variant)
-    lag = dataclasses.replace(base, use_lag_statistics=True, lag_tap_major=tap)
+    lag = dataclasses.replace(
+        base, use_lag_statistics=True, lag_assembly=assembly
+    )
 
     rng = np.random.default_rng(8)
     outs = {}

@@ -37,13 +37,14 @@ from apvast_tpu.utils.scenes import scale_scene  # noqa: E402
 
 
 CANDIDATES = {
-    "panel+invert": {},
-    "panel+newton": dict(subspace_whiten="newton"),
-    "lag+invert": dict(use_lag_statistics=True, use_pallas_statistics=False),
-    "lag+newton": dict(
+    "pallas+invert": {},
+    "lagwide+invert": dict(
+        use_lag_statistics=True, use_pallas_statistics=False
+    ),
+    "lagpair+invert": dict(
         use_lag_statistics=True,
         use_pallas_statistics=False,
-        subspace_whiten="newton",
+        lag_assembly="pair",
     ),
 }
 
