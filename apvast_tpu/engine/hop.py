@@ -148,9 +148,11 @@ def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
 def _analyze(config, plan, blocks):
     """WOLA analysis: FFT custom-call, or (use_matmul_dft) two MXU
     matmuls against the plan's DFT matrices — numerically the same
-    transform with O(N) instead of O(log N) rounding."""
+    transform with O(N) instead of O(log N) rounding. The analysis
+    window is FOLDED INTO the matmul matrices (plan.py), so the
+    matmul-DFT path applies no elementwise window pass."""
     if config.use_matmul_dft:
-        x = plan.window * blocks
+        x = blocks
         re = jnp.einsum(
             "...n,nk->...k", x, plan.dft_cos, preferred_element_type=x.dtype
         )
@@ -162,9 +164,10 @@ def _analyze(config, plan, blocks):
 
 
 def _synthesize(config, plan, spectra, block):
-    """WOLA synthesis: inverse FFT, or inverse-DFT matmuls."""
+    """WOLA synthesis: inverse FFT, or inverse-DFT matmuls (synthesis
+    window folded into the inverse matrices — see plan.py)."""
     if config.use_matmul_dft:
-        x = jnp.einsum(
+        return jnp.einsum(
             "...k,kn->...n",
             jnp.real(spectra),
             plan.idft_cos,
@@ -175,7 +178,6 @@ def _synthesize(config, plan, spectra, block):
             plan.idft_sin,
             preferred_element_type=plan.idft_sin.dtype,
         )
-        return plan.window * x
     return wola_synthesize(plan.window, spectra, block)
 
 
@@ -266,7 +268,7 @@ def process_hop(
         t_spec, weighting = target_weighting(config, plan, target_resp)
         wt_spec = t_spec * weighting
         kernels = weighting_kernel(
-            weighting, block, config.weighting_conv_taps, plan.idft_cos
+            weighting, block, config.weighting_conv_taps, plan.idft_cos_plain
         )  # (2, m, T)
         gate = _signal_gate(config, dtype)
         y = circular_weighting_conv(

@@ -51,11 +51,15 @@ class ApVastPlan:
     # Matmul-DFT matrices for the WOLA transforms (None unless
     # config.use_matmul_dft): forward (block, bins) cos/sin and inverse
     # (bins, block) cos/sin with the one-sided reconstruction weights
-    # folded in.
+    # AND the sine analysis/synthesis windows folded in (so the hop
+    # spends no elementwise window passes over the big response tensors).
     dft_cos: jax.Array | None
     dft_sin: jax.Array | None
     idft_cos: jax.Array | None
     idft_sin: jax.Array | None
+    # Inverse-cos WITHOUT the synthesis window (for consumers that need
+    # the true iDFT, e.g. the truncated weighting-kernel build).
+    idft_cos_plain: jax.Array | None
     # Perceptual tables (None when config.perceptual is False).
     cfmr_sq: jax.Array | None
     cs: jax.Array | None
@@ -169,7 +173,7 @@ def build_plan(
         ]
     )
 
-    dft_cos = dft_sin = idft_cos = idft_sin = None
+    dft_cos = dft_sin = idft_cos = idft_sin = idft_cos_plain = None
     if config.use_matmul_dft:
         block = config.block_size
         ang = (
@@ -181,10 +185,17 @@ def build_plan(
         inv_w = np.full(block // 2 + 1, 2.0 / block)
         inv_w[0] = 1.0 / block
         inv_w[-1] = 1.0 / block
-        dft_cos = jnp.asarray(np.cos(ang), dtype=dtype)
-        dft_sin = jnp.asarray(np.sin(ang), dtype=dtype)
-        idft_cos = jnp.asarray((np.cos(ang) * inv_w).T, dtype=dtype)
-        idft_sin = jnp.asarray((np.sin(ang) * inv_w).T, dtype=dtype)
+        # The WOLA analysis window is folded INTO the forward matrices
+        # and the synthesis window into the inverse matrices:
+        # (win*x) @ C == x @ (win[:,None]*C) term for term, so the
+        # per-hop elementwise window passes over the (paths, mics, srcs,
+        # block) response tensors disappear into the existing matmuls.
+        win = np.asarray(sine_window(block, dtype=dtype))
+        dft_cos = jnp.asarray(win[:, None] * np.cos(ang), dtype=dtype)
+        dft_sin = jnp.asarray(win[:, None] * np.sin(ang), dtype=dtype)
+        idft_cos = jnp.asarray((np.cos(ang) * inv_w).T * win[None, :], dtype=dtype)
+        idft_sin = jnp.asarray((np.sin(ang) * inv_w).T * win[None, :], dtype=dtype)
+        idft_cos_plain = jnp.asarray((np.cos(ang) * inv_w).T, dtype=dtype)
 
     return ApVastPlan(
         window=sine_window(config.block_size, dtype=dtype),
@@ -196,6 +207,7 @@ def build_plan(
         dft_sin=dft_sin,
         idft_cos=idft_cos,
         idft_sin=idft_sin,
+        idft_cos_plain=idft_cos_plain,
         cfmr_sq=cfmr_sq,
         cs=cs,
         ca=ca,

@@ -47,6 +47,7 @@ _STATE_MIC_DIM = {
     "out_overlap": None,
     "target_out_overlap": None,
     "gevd_q": None,
+    "gevd_minv": None,
 }
 _PLAN_MIC_DIM = {
     "window": None,
@@ -55,6 +56,7 @@ _PLAN_MIC_DIM = {
     "dft_sin": None,
     "idft_cos": None,
     "idft_sin": None,
+    "idft_cos_plain": None,
     "rir_spec": 1,
     "target_rir_spec": 1,
     "target_filter_spec": None,

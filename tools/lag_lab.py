@@ -113,6 +113,11 @@ def main():
         methods["tap_pallas"] = lambda b, t: covariance_via_lags_tap(
             b, t, j, c0_method="pallas"
         )
+        from apvast_tpu.ops.lag_statistics import covariance_via_lags_wide
+
+        methods["wide_pallas"] = lambda b, t: covariance_via_lags_wide(
+            b, t, j, c0_method="pallas"
+        )
         from apvast_tpu.ops.pallas.statistics import covariance_pallas
 
         interp = jax.default_backend() == "cpu"
