@@ -42,9 +42,12 @@ def jdiag(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
     # sees an exactly-symmetric operand.
     white = 0.5 * (white + white.T)
     d, v = jnp.linalg.eigh(white)  # ascending
-    u = solve_triangular(chol.T, v, lower=False)  # back-transform
-    # Descending order (Python/apvast.py:32-35 flips an argsort).
-    return u[:, ::-1], d[::-1]
+    # Descending order (Python/apvast.py:32-35 flips an argsort): flip
+    # the eigenvector columns BEFORE the back-transform — bit-identical
+    # per column, and the (n, n) lane reversal happens on v where XLA
+    # folds it into the eigh epilogue instead of on the solve output.
+    u = solve_triangular(chol.T, v[:, ::-1], lower=False)
+    return u, d[::-1]
 
 
 # Batched over a leading pencil axis: used to solve both zones (and any
@@ -157,7 +160,11 @@ def _topk_extract(small_d, small_v, q, wmat, num_vectors, q_init, whiten):
     zero on a healthy hop; a persistently positive count is a
     conditioning regression (VERDICT round-1 weak #4)."""
     d = small_d[::-1][:num_vectors]
-    ritz = (q @ small_v)[:, ::-1]
+    # Flip the SMALL (k, k) eigenvector matrix to descending order before
+    # the big matmul: flipping (q @ V) afterwards is a lane reversal of
+    # the (n, k) product — measured 171 us/hop of pure relayout copies on
+    # the north-star trace.
+    ritz = q @ small_v[:, ::-1]
     if whiten == "invert":
         u = jnp.matmul(
             wmat.T, ritz[:, :num_vectors],

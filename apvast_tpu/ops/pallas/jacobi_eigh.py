@@ -208,7 +208,16 @@ def jacobi_eigh(
     else:
         order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)[:, :n]
-    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)[:, :n, :n]
+    # Column permutation as a one-hot matmul: the take_along_axis gather
+    # on (bz, n, n) lowers to per-column dynamic slices that stall the
+    # pipeline (measured as a ~170 us/hop async-copy bubble on the
+    # north-star trace); P is built with vector compares and the
+    # permutation rides the MXU.
+    perm = (
+        jax.lax.broadcasted_iota(jnp.int32, (order.shape[0], npad, n), 1)
+        == order[:, None, :]
+    ).astype(v.dtype)
+    v = jnp.matmul(v, perm, precision=jax.lax.Precision.HIGHEST)[:, :n, :]
     return (
         w.reshape(batch_shape + (n,)),
         v.reshape(batch_shape + (n, n)),

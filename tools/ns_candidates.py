@@ -51,13 +51,13 @@ def main():
 
     candidates = {
         "production(r2)": {},
-        "wconv257": dict(weighting_conv_taps=257),
-        "taplag": dict(use_lag_statistics=True, use_pallas_statistics=False),
-        "taplag+wconv": dict(
+        "lagwide": dict(use_lag_statistics=True, use_pallas_statistics=False),
+        "lagwide+sw2": dict(
             use_lag_statistics=True,
             use_pallas_statistics=False,
-            weighting_conv_taps=257,
+            jacobi_sweeps=2,
         ),
+        "prod+sw2": dict(jacobi_sweeps=2),
     }
 
     rng = np.random.default_rng(0)
