@@ -295,18 +295,31 @@ def measure_north_star() -> int:
     rtf, rtf_med, per_hop_ms, silenced = _measure_scene(
         ns.config, ns_plan, ns_state, num_hops=512, reps=8
     )
-    print(
-        json.dumps(
-            {
-                "metric": "north_star_rtf",
-                "value": round(rtf, 3),
-                "value_median": round(rtf_med, 3),
-                "per_hop_ms": round(per_hop_ms, 3),
-                "silenced": silenced,
-            }
-        ),
-        flush=True,
-    )
+    result = {
+        "metric": "north_star_rtf",
+        "value": round(rtf, 3),
+        "value_median": round(rtf_med, 3),
+        "per_hop_ms": round(per_hop_ms, 3),
+        "silenced": silenced,
+    }
+    print(json.dumps(result), flush=True)
+    # Jitter-robust DEVICE-time estimate: difference two stream lengths
+    # so the fixed per-dispatch tunnel cost cancels:
+    # d = (T_512 - T_256) / 256 per hop.
+    try:
+        _, _, per_hop_256, _ = _measure_scene(
+            ns.config, ns_plan, init_state(ns.config, key=jax.random.key(0)),
+            num_hops=256, reps=4,
+        )
+        dev_ms = (per_hop_ms * 512 - per_hop_256 * 256) / 256.0
+        if 0 < dev_ms < per_hop_ms * 1.5:
+            result["device_per_hop_ms_est"] = round(dev_ms, 3)
+            result["device_rtf_est"] = round(
+                HOP_SECONDS * 1000.0 / dev_ms, 3
+            )
+            print(json.dumps(result), flush=True)
+    except Exception:
+        pass  # the headline number above already streamed
     return 0
 
 

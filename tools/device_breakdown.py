@@ -104,8 +104,23 @@ def main():
     rows, counts = parse_xplane(paths[0])
     total = sum(rows.values())
     print(f"device total: {total/1000:.3f} ms = {total/1000/nh:.4f} ms/hop")
+    # Async copy/slice-start wall times overlap compute — report them
+    # separately so the sync rows aren't drowned out.
+    sync = {n: u for n, u in rows.items() if "start" not in n.split(" = ")[0]}
+    async_us = total - sum(sync.values())
+    print(f"sync ops: {sum(sync.values())/1000/nh:.4f} ms/hop; "
+          f"async copy/slice wall: {async_us/1000/nh:.4f} ms/hop (overlapped)")
+    import re as _re
+
+    cats = collections.Counter()
+    for n, u in sync.items():
+        op = n.split(" = ")[0].lstrip("%")
+        cats[_re.sub(r"[.\d]+$", "", op)] += u
+    print("by category (sync):")
+    for c, u in cats.most_common(15):
+        print(f"  {u/nh:9.2f} us/hop  {c}")
     print(f"{'us/hop':>9} {'count':>6}  op")
-    for name, us in rows.most_common(40):
+    for name, us in rows.most_common(80):
         print(f"{us/nh:9.2f} {counts[name]:6d}  {name[:110]}")
 
 

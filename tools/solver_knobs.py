@@ -87,7 +87,7 @@ def main():
         gevd_solver=GevdSolver.SUBSPACE,
         subspace_oversample=14,
         subspace_iters=2,
-        use_lag_statistics=True,
+        use_pallas_statistics=True,
         use_pallas_output=True,
         use_pallas_conv=True,
         use_matmul_dft=True,
@@ -113,10 +113,9 @@ def main():
 
     for iters, sweeps, overs in (
         (2, 3, 14),
-        (1, 3, 14),
         (2, 2, 14),
-        (1, 2, 14),
-        (1, 3, 8),
+        (2, 2, 18),
+        (2, 2, 22),
     ):
         cfg = dataclasses.replace(
             base,
