@@ -277,11 +277,15 @@ class ApVastConfig:
     #  - "pair": source-major per-source-pair diagonal shears (S^2 small
     #    sub-128-lane relayouts; ~1.4 ms/hop at SJ=1600).
     #  - "tap": tap-major assembly AND tap-major output ordering (filters
-    #    extracted with the matching (J, S) reshape). Fastest, but the
-    #    symmetrically-permuted pencil's different Cholesky rounding
-    #    measurably rotates a near-degenerate top eigenpair on the
-    #    north-star scene (rank-1 contrast delta 0.43 dB vs 0.08 dB
-    #    source-major — outside the 0.25 dB production gate).
+    #    extracted with the matching (J, S) reshape). Fastest of the
+    #    XLA assemblies, but the symmetrically-permuted pencil's
+    #    different Cholesky rounding measurably rotates a near-degenerate
+    #    top eigenpair on the north-star scene (rank-1 contrast delta
+    #    0.43 dB vs 0.08 dB source-major — outside the 0.25 dB gate).
+    #  - "skew": the assembly fused into one scanned Pallas MXU kernel
+    #    (ops/pallas/skew_assembly.py) writing source-major rows
+    #    directly — no wide relayout passes at all (float32 kernel;
+    #    interpret-mode off TPU).
     lag_assembly: str = "wide"
     # Apply the perceptual weighting to the loudspeaker responses as a
     # truncated time-domain circular convolution (ops/weighting_conv.py)

@@ -290,6 +290,7 @@ def process_hop(
     if config.use_lag_statistics:
         from apvast_tpu.ops.lag_statistics import (
             covariance_via_lags,
+            covariance_via_lags_skew,
             covariance_via_lags_tap,
             covariance_via_lags_wide,
         )
@@ -306,6 +307,7 @@ def process_hop(
             "tap": covariance_via_lags_tap,
             "pair": covariance_via_lags,
             "wide": covariance_via_lags_wide,
+            "skew": covariance_via_lags_skew,
         }[config.lag_assembly]
         r_mats, r_vecs = cov_fn(buf_eff, d, j)
     elif config.use_pallas_statistics:

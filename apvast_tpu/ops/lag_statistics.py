@@ -313,6 +313,77 @@ def covariance_via_lags_wide(
     return r_mats, r_vecs
 
 
+def covariance_via_lags_skew(
+    buf: jax.Array,
+    d: jax.Array,
+    j: int,
+    c0_method: str = "auto",
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Source-major lag statistics with the assembly fused into one
+    scanned Pallas MXU kernel (ops/pallas/skew_assembly.py).
+
+    The pair/tap/wide variants above compute the diagonal tables and
+    then pay separate relayout passes (shears, flips, transposes) to
+    turn them into (SJ, SJ) matrices. This variant never materializes
+    the tables: writing the output row band at tap t1 in OUTPUT lane
+    coordinates (s2*J + t2) turns the whole chain into a per-band
+    recursion
+
+        row(t1) = shift_by_one_lane(row(t1+1)) + lhsT[a] @ rhs,
+        row(J-1) = c0  (in output coordinates),    a = J-1-t1,
+
+    because both the c0[t1-t2] broadcast and the edge-correction
+    cumulative sum shift the same way when t1 steps down — and the
+    rank-C update's rhs is band-independent. One matmul slice + one
+    lane shift per band, output written directly source-major; only the
+    symmetric upper-tap completion (transpose + select) remains in XLA.
+
+    Numerically the same sums as :func:`covariance_via_lags` in a
+    different association order (the edge matmul accumulates in f32 on
+    the MXU).
+
+    Args/returns as :func:`covariance_via_lags`.
+    """
+    from apvast_tpu.ops.pallas.skew_assembly import lag_skew_assemble
+
+    p4, m, s, n = buf.shape
+    k = n - j + 1
+    if d.shape[-1] != k:
+        raise ValueError(f"target buffer must have K={k} samples")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    c0 = _compute_c0(buf, j, c0_method)  # (4, s1, s2, l)
+    # c0 in output coordinates: c0_sm[p, s1, s2*J + t2] = c0[s1, s2, J-1-t2].
+    c0_sm = jnp.flip(c0, axis=-1).reshape(p4, s, s * j)
+
+    # Edge factors (identical construction to the tap path: row i = 0
+    # zeroed, right edge minus left edge stacked on the contraction
+    # axis c = (mic, edge)).
+    zero_col = jnp.zeros_like(buf[..., :1])
+    x1r = jnp.concatenate([zero_col, buf[..., k : k + j - 1]], -1)
+    x1l = jnp.concatenate([zero_col, -buf[..., : j - 1]], -1)
+    x2r = buf[..., k - 1 : k - 1 + j]  # v -> buf[k-1+v]
+    x2l = jnp.concatenate([zero_col, buf[..., : j - 1]], -1)  # v -> buf[v-1]
+    lhs = jnp.stack([x1r, x1l], axis=2).reshape(p4, 2 * m, s, j)
+    rhs = jnp.stack([x2r, x2l], axis=2).reshape(p4, 2 * m, s, j)
+    # lhsT[p, a*S + s1, c]; rhs_sm[p, c, s2*J + t2] = x2[c][J-1-t2, s2].
+    lhs_t = lhs.transpose(0, 3, 2, 1).reshape(p4, j * s, 2 * m)
+    rhs_sm = jnp.flip(rhs, axis=-1).reshape(p4, 2 * m, s * j)
+
+    low = lag_skew_assemble(
+        lhs_t, rhs_sm, c0_sm, j, interpret=interpret
+    ).reshape(p4, s * j, s * j)
+    # Symmetric completion: the kernel writes valid values at t2 <= t1
+    # (within every source block); R = R^T fills the rest.
+    taps = jnp.arange(s * j) % j
+    mask = taps[:, None] >= taps[None, :]
+    r_mats = jnp.where(mask, low, jnp.swapaxes(low, -1, -2))
+    r_vecs = cross_lag_vectors(buf, d, j)
+    return r_mats, r_vecs
+
+
 def covariance_via_lags_tap(
     buf: jax.Array,
     d: jax.Array,

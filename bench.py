@@ -207,6 +207,11 @@ def measure(device: str) -> int:
     from apvast_tpu.utils import load_reference_rirs
 
     rir_a, rir_b = load_reference_rirs()
+    # Plan building runs device ops (RIR responses) that can trigger
+    # long uncached compiles; mark it so the parent's watchdog applies
+    # the compile grace (the r3 baseline child was killed at 240 s idle
+    # exactly here, before the first marker).
+    _mark("COMPILE plan")
     cfg = ApVastConfig.for_rirs(
         rir_a,
         rir_b,
@@ -224,6 +229,7 @@ def measure(device: str) -> int:
     )
     plan = build_plan(cfg, rir_a, rir_b)
     state = init_state(cfg, key=jax.random.key(0))
+    _mark("COMPILED plan")
 
     # Long streams per dispatch measure sustained streaming throughput:
     # the tunnel costs ~30 ms per dispatch regardless of stream length
@@ -286,9 +292,11 @@ def measure_north_star() -> int:
     from apvast_tpu.engine import build_plan, init_state
     from apvast_tpu.utils.scenes import scale_scene
 
+    _mark("COMPILE plan")
     ns = scale_scene(16, **_production_overrides("tpu"))
     ns_plan = build_plan(ns.config, ns.rir_a, ns.rir_b)
     ns_state = init_state(ns.config, key=jax.random.key(0))
+    _mark("COMPILED plan")
     # 512 hops/dispatch: the ~30-35 ms fixed tunnel dispatch cost reads
     # as +0.24 ms/hop at 128 hops but +0.07 at 512 (tools/nh_sweep.py:
     # 1.762 / 1.645 / 1.576 ms/hop at NH = 128 / 256 / 512).

@@ -132,7 +132,32 @@ def test_wide_equals_pair_assembly():
     np.testing.assert_allclose(np.asarray(v_wide), np.asarray(v_pair), rtol=1e-12)
 
 
-@pytest.mark.parametrize("assembly", ["pair", "wide", "tap"])
+@pytest.mark.parametrize(
+    "s,j,m,n", [(3, 16, 2, 80), (4, 7, 3, 40), (2, 1, 2, 12), (16, 50, 3, 140)]
+)
+def test_skew_equals_pair_assembly(s, j, m, n):
+    """covariance_via_lags_skew (the scanned Pallas assembly kernel,
+    interpret mode): same source-major VALUES as the per-pair path to
+    machine precision — the shift-recursion writes the same sums."""
+    from apvast_tpu.ops.lag_statistics import covariance_via_lags_skew
+
+    rng = np.random.default_rng(41 + s + j)
+    buf = jnp.asarray(rng.standard_normal((4, m, s, n)))
+    d = jnp.asarray(rng.standard_normal((2, m, n - j + 1)))
+    r_pair, v_pair = covariance_via_lags(buf, d, j, c0_method="conv")
+    r_skew, v_skew = covariance_via_lags_skew(buf, d, j, c0_method="conv")
+    scale = float(jnp.abs(r_pair).max())
+    np.testing.assert_allclose(
+        np.asarray(r_skew), np.asarray(r_pair), rtol=1e-12, atol=1e-13 * scale
+    )
+    np.testing.assert_allclose(np.asarray(v_skew), np.asarray(v_pair), rtol=1e-12)
+    # Exact symmetry by construction (transpose + select completion).
+    np.testing.assert_array_equal(
+        np.asarray(r_skew), np.swapaxes(np.asarray(r_skew), -1, -2)
+    )
+
+
+@pytest.mark.parametrize("assembly", ["pair", "wide", "tap", "skew"])
 @pytest.mark.parametrize("variant", list(ToeplitzVariant))
 def test_engine_hop_with_lag_statistics(small_scene, variant, assembly):
     """process_hop(use_lag_statistics=True) == the einsum engine, both
