@@ -313,6 +313,28 @@ def covariance_via_lags_wide(
     return r_mats, r_vecs
 
 
+def _c0_and_cross_fused(
+    buf: jax.Array, d: jax.Array, j: int, c0_method: str
+) -> tuple[jax.Array, jax.Array]:
+    """Full-window correlations AND the bright-path cross-correlations
+    from ONE correlation pass: the weighted target rides along as an
+    extra 'source' row (zero-padded to the buffer length; zero rows on
+    the dark paths), so the S+1-source correlation returns both
+    C0[s1, s2, l] and r_corr[z, s, a] = sum_t d_z[t] x[s, t + a] without
+    a separate roll-stack einsum (~100 us/hop at SJ=800)."""
+    p4, m, s, n = buf.shape
+    dpad = jnp.pad(d, ((0, 0), (0, 0), (0, j - 1)))  # (2, m, n)
+    dz = jnp.zeros((p4, m, 1, n), buf.dtype)
+    dz = dz.at[0, :, 0].set(dpad[0]).at[3, :, 0].set(dpad[1])
+    ext = jnp.concatenate([buf, dz], axis=2)  # (4, m, s+1, n)
+    c0e = _compute_c0(ext, j, c0_method)  # (4, s+1, s+1, J)
+    c0 = c0e[:, :s, :s]
+    # Row s1 = S (the target row) against every source: exactly the
+    # bright-path lag correlations of cross_lag_vectors.
+    r_corr = jnp.stack([c0e[0, s, :s], c0e[3, s, :s]])  # (2, s, J)
+    return c0, r_corr
+
+
 def covariance_via_lags_skew(
     buf: jax.Array,
     d: jax.Array,
@@ -354,7 +376,7 @@ def covariance_via_lags_skew(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    c0 = _compute_c0(buf, j, c0_method)  # (4, s1, s2, l)
+    c0, r_corr = _c0_and_cross_fused(buf, d, j, c0_method)
     # c0 in output coordinates: c0_sm[p, s1, s2*J + t2] = c0[s1, s2, J-1-t2].
     c0_sm = jnp.flip(c0, axis=-1).reshape(p4, s, s * j)
 
@@ -380,7 +402,7 @@ def covariance_via_lags_skew(
     taps = jnp.arange(s * j) % j
     mask = taps[:, None] >= taps[None, :]
     r_mats = jnp.where(mask, low, jnp.swapaxes(low, -1, -2))
-    r_vecs = cross_lag_vectors(buf, d, j)
+    r_vecs = jnp.flip(r_corr, axis=-1).reshape(2, s * j)
     return r_mats, r_vecs
 
 

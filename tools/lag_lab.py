@@ -118,6 +118,11 @@ def main():
         methods["wide_pallas"] = lambda b, t: covariance_via_lags_wide(
             b, t, j, c0_method="pallas"
         )
+        from apvast_tpu.ops.lag_statistics import covariance_via_lags_skew
+
+        methods["skew_pallas"] = lambda b, t: covariance_via_lags_skew(
+            b, t, j, c0_method="pallas"
+        )
         from apvast_tpu.ops.pallas.statistics import covariance_pallas
 
         interp = jax.default_backend() == "cpu"
