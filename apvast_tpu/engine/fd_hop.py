@@ -49,7 +49,7 @@ from apvast_tpu.ops.wola import (
     rfft_batched,
     slide,
     wola_analyze,
-    wola_overlap_add,
+    wola_overlap_add_tail,
     wola_synthesize,
 )
 
@@ -64,8 +64,8 @@ class FdState:
     resp: jax.Array  # (4, mics, srcs, block)
     target_resp: jax.Array  # (2, mics, block)
     input_blocks: jax.Array  # (2, block)
-    out_overlap: jax.Array  # (2, V, srcs, block)
-    target_out_overlap: jax.Array  # (2, srcs, block)
+    out_overlap: jax.Array  # (2, V, srcs, block - hop) — tail form
+    target_out_overlap: jax.Array  # (2, srcs, block - hop) — tail form
     # Exponentially-weighted per-bin statistics; with cross-frame taps
     # (config.fd_frame_taps = B > 1) the per-bin vectors stack the last B
     # frames, so the covariance blocks are (S*B, S*B).
@@ -112,8 +112,8 @@ def init_fd_state(
         resp=resp,
         target_resp=target_resp,
         input_blocks=jnp.zeros((2, block), dtype=dtype),
-        out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
-        target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
+        out_overlap=jnp.zeros((2, v, s, block - config.hop), dtype=dtype),
+        target_out_overlap=jnp.zeros((2, s, block - config.hop), dtype=dtype),
         cov=cov,
         cross=cross,
         spec_hist=spec_hist if b > 1 else None,
@@ -244,11 +244,13 @@ def process_hop_fd(
     else:
         out_spec = in_spec[:, None, None, :] * filt_spec[:, :, 0]
     new_out = wola_synthesize(win, out_spec, block)
-    out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
+    out_overlap, out_emit = wola_overlap_add_tail(
+        state.out_overlap, new_out, hop
+    )
 
     t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
     new_t_out = wola_synthesize(win, t_out_spec, block)
-    target_out_overlap, t_emit = wola_overlap_add(
+    target_out_overlap, t_emit = wola_overlap_add_tail(
         state.target_out_overlap, new_t_out, hop
     )
 

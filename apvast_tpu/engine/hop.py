@@ -38,7 +38,7 @@ from apvast_tpu.ops.wola import (
     rfft_batched,
     slide,
     wola_analyze,
-    wola_overlap_add,
+    wola_overlap_add_tail,
     wola_synthesize,
 )
 from apvast_tpu.perceptual.model import perceptual_gain
@@ -279,10 +279,14 @@ def process_hop(
         wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
         new_wr = _synthesize(config, plan, r_spec, block)
     new_wt = _synthesize(config, plan, wt_spec, block)
-    wtarget_overlap, wt_emit = wola_overlap_add(state.wtarget_overlap, new_wt, hop)
+    wtarget_overlap, wt_emit = wola_overlap_add_tail(
+        state.wtarget_overlap, new_wt, hop
+    )
     wtarget_stat = slide(state.wtarget_stat, wt_emit)
 
-    wresp_overlap, wr_emit = wola_overlap_add(state.wresp_overlap, new_wr, hop)
+    wresp_overlap, wr_emit = wola_overlap_add_tail(
+        state.wresp_overlap, new_wr, hop
+    )
     wresp_stat = slide(state.wresp_stat, wr_emit)
 
     # ---- 4. statistics (ref apvast.py:329-364) -------------------------
@@ -513,8 +517,10 @@ def process_hop(
         t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
         new_t_out = _synthesize(config, plan, t_out_spec, block)
 
-    out_overlap, out_emit = wola_overlap_add(state.out_overlap, new_out, hop)
-    target_out_overlap, t_emit = wola_overlap_add(
+    out_overlap, out_emit = wola_overlap_add_tail(
+        state.out_overlap, new_out, hop
+    )
+    target_out_overlap, t_emit = wola_overlap_add_tail(
         state.target_out_overlap, new_t_out, hop
     )
 

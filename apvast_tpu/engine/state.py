@@ -31,9 +31,12 @@ class ApVastState:
     resp: jax.Array
     # Target response blocks, (2, mics, block_size) (apvast.py:128-129).
     target_resp: jax.Array
-    # WOLA overlap accumulators of the weighted responses,
-    # (4, mics, srcs, block_size) / (2, mics, block_size)
-    # (apvast.py:131-137).
+    # WOLA overlap accumulators of the weighted responses, stored in
+    # TAIL form — (..., block_size - hop) instead of the reference's
+    # full block (apvast.py:131-137): the emitted head and shifted-in
+    # zeros carry no state, and dropping them removes a full-buffer HBM
+    # shift per hop (ops/wola.wola_overlap_add_tail; emits bit-identical
+    # samples). Shapes: (4, mics, srcs, block-hop) / (2, mics, block-hop).
     wresp_overlap: jax.Array
     wtarget_overlap: jax.Array
     # Statistics buffers of weighted responses,
@@ -42,10 +45,10 @@ class ApVastState:
     wtarget_stat: jax.Array
     # Sliding input blocks, (2, block_size) (apvast.py:95-96).
     input_blocks: jax.Array
-    # Output overlap accumulators, (2, num_eigenvectors, srcs, block_size)
-    # (apvast.py:147-151).
+    # Output overlap accumulators, (2, num_eigenvectors, srcs,
+    # block_size - hop), tail form (apvast.py:147-151).
     out_overlap: jax.Array
-    # Target-output overlap accumulators, (2, srcs, block_size). The
+    # Target-output overlap accumulators, (2, srcs, block_size - hop). The
     # reference keeps one copy per rank but feeds every rank the same
     # spectra (apvast.py:467-496), so all copies stay identical; a single
     # buffer reproduces the outputs exactly.
@@ -115,13 +118,13 @@ def init_state(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
         resp=resp,
         target_resp=target_resp,
-        wresp_overlap=jnp.zeros((4, m, s, block), dtype=dtype),
-        wtarget_overlap=jnp.zeros((2, m, block), dtype=dtype),
+        wresp_overlap=jnp.zeros((4, m, s, block - config.hop), dtype=dtype),
+        wtarget_overlap=jnp.zeros((2, m, block - config.hop), dtype=dtype),
         wresp_stat=jnp.zeros((4, m, s, n), dtype=dtype),
         wtarget_stat=jnp.zeros((2, m, n), dtype=dtype),
         input_blocks=jnp.zeros((2, block), dtype=dtype),
-        out_overlap=jnp.zeros((2, v, s, block), dtype=dtype),
-        target_out_overlap=jnp.zeros((2, s, block), dtype=dtype),
+        out_overlap=jnp.zeros((2, v, s, block - config.hop), dtype=dtype),
+        target_out_overlap=jnp.zeros((2, s, block - config.hop), dtype=dtype),
         gevd_q=gevd_q,
         gevd_minv=gevd_minv,
     )

@@ -83,6 +83,39 @@ def wola_overlap_add(
     return buffer, buffer[..., :hop]
 
 
+def wola_overlap_add_tail(
+    tail: jax.Array, new_block: jax.Array, hop: int
+):
+    """Overlap-add with the carry reduced to the (block - hop)-sample
+    TAIL of the reference's full-block buffer.
+
+    The reference update (Python/apvast.py:218) shifts a block-length
+    accumulator every hop; but its first ``hop`` samples are emitted
+    immediately and its shifted-in zeros carry no information, so only
+    ``block - hop`` samples of true state exist. Keeping just that tail
+    removes a full-buffer HBM shift per hop per accumulator (~17 MB/hop
+    of traffic on the north-star scene across the four accumulators; at
+    the production 50% hop the new tail is simply ``new_block[hop:]``).
+
+    Emitted samples are BIT-IDENTICAL to :func:`wola_overlap_add`: the
+    same adds in the same order, minus the dead shift.
+
+    Returns ``(new_tail, emitted)`` with ``emitted`` of ``hop`` samples.
+    """
+    bh = tail.shape[-1]
+    if hop >= bh:
+        # hop >= block/2 (50% overlap or less): nothing old survives
+        # past the emit.
+        pad = [(0, 0)] * (tail.ndim - 1) + [(0, hop - bh)]
+        emit = new_block[..., :hop] + jnp.pad(tail, pad)
+        return new_block[..., hop:], emit
+    emit = tail[..., :hop] + new_block[..., :hop]
+    shifted = jnp.concatenate(
+        [tail[..., hop:], jnp.zeros_like(tail[..., :hop])], axis=-1
+    )
+    return shifted + new_block[..., hop:], emit
+
+
 def slide(buffer: jax.Array, fresh: jax.Array) -> jax.Array:
     """Append ``fresh`` samples to a sliding time buffer, dropping the
     oldest (the reference's ``concat(buf[idx], new)`` pattern,

@@ -52,3 +52,24 @@ def test_overlap_add_matches_reference_pattern(rng):
     want = np.concatenate([old[:, hop:], np.zeros((3, hop))], axis=1) + new
     np.testing.assert_allclose(np.asarray(buf), want)
     np.testing.assert_allclose(np.asarray(emitted), want[:, :hop])
+
+
+def test_overlap_add_tail_matches_full_buffer():
+    """Tail-form overlap-add emits bit-identical samples to the
+    reference full-buffer update, at 50% and 75% overlap."""
+    from apvast_tpu.ops.wola import wola_overlap_add_tail
+
+    rng = np.random.default_rng(17)
+    for block, hop in ((16, 8), (16, 4), (12, 6)):
+        full = jnp.zeros((3, block))
+        tail = jnp.zeros((3, block - hop))
+        for _ in range(5):
+            new = jnp.asarray(rng.standard_normal((3, block)))
+            full, emit_full = wola_overlap_add(full, new, hop)
+            tail, emit_tail = wola_overlap_add_tail(tail, new, hop)
+            np.testing.assert_array_equal(
+                np.asarray(emit_tail), np.asarray(emit_full)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(tail), np.asarray(full)[..., hop:]
+            )

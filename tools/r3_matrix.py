@@ -38,13 +38,13 @@ from apvast_tpu.utils.scenes import scale_scene  # noqa: E402
 
 CANDIDATES = {
     "pallas+invert": {},
-    "lagwide+invert": dict(
-        use_lag_statistics=True, use_pallas_statistics=False
-    ),
-    "lagpair+invert": dict(
+    "skew+invert": dict(
         use_lag_statistics=True,
         use_pallas_statistics=False,
-        lag_assembly="pair",
+        lag_assembly="skew",
+    ),
+    "lagwide+invert": dict(
+        use_lag_statistics=True, use_pallas_statistics=False
     ),
 }
 

@@ -35,6 +35,7 @@ CANDIDATES = {
     "einsum+newton": dict(subspace_whiten="newton"),
     "lag+invert": dict(use_lag_statistics=True),
     "lag+newton": dict(use_lag_statistics=True, subspace_whiten="newton"),
+    "skew+invert": dict(use_lag_statistics=True, lag_assembly="skew"),
 }
 
 
