@@ -48,6 +48,7 @@ from apvast_tpu.ops.wola import (
     irfft_batched,
     rfft_batched,
     slide,
+    slide_tail,
     wola_analyze,
     wola_overlap_add_tail,
     wola_synthesize,
@@ -61,8 +62,8 @@ class FdState:
     buffers — the per-bin covariance recursion replaces them."""
 
     conv_history: jax.Array  # (2, fir_history)
-    resp: jax.Array  # (4, mics, srcs, block)
-    target_resp: jax.Array  # (2, mics, block)
+    resp: jax.Array  # (4, mics, srcs, block - hop) — tail form
+    target_resp: jax.Array  # (2, mics, block - hop) — tail form
     input_blocks: jax.Array  # (2, block)
     out_overlap: jax.Array  # (2, V, srcs, block - hop) — tail form
     target_out_overlap: jax.Array  # (2, srcs, block - hop) — tail form
@@ -93,6 +94,8 @@ def init_fd_state(
     else:
         resp = jnp.zeros((4, m, s, block), dtype=dtype)
         target_resp = jnp.zeros((2, m, block), dtype=dtype)
+    resp = resp[..., config.hop :]  # tail form (see engine/state.py)
+    target_resp = target_resp[..., config.hop :]
     # Complex zeros are created inside a jit: the TPU runtime in this
     # environment rejects EAGER complex-typed primitives (compiled complex
     # ops are fine) — see utils docs / PERF.md environment caveat.
@@ -153,7 +156,7 @@ def process_hop_fd(
     hops = jnp.stack([hop_a, hop_b]).astype(dtype)
     conv_history, resp, target_resp = convolve_inputs(
         config, plan, state.conv_history, state.resp, state.target_resp, hops
-    )
+    )  # (tail, fresh) pairs — see engine/hop.convolve_inputs
     wt_spec, r_spec, _ = weighted_spectra(config, plan, resp, target_resp)
     # r_spec: (4, m, s, bins); wt_spec: (2, m, bins).
 
@@ -259,8 +262,8 @@ def process_hop_fd(
 
     new_state = FdState(
         conv_history=conv_history,
-        resp=resp,
-        target_resp=target_resp,
+        resp=slide_tail(resp[0], resp[1], hop),
+        target_resp=slide_tail(target_resp[0], target_resp[1], hop),
         input_blocks=input_blocks,
         out_overlap=out_overlap,
         target_out_overlap=target_out_overlap,

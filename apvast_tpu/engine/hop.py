@@ -37,6 +37,7 @@ from apvast_tpu.ops.wola import (
     irfft_batched,
     rfft_batched,
     slide,
+    slide_tail,
     wola_analyze,
     wola_overlap_add_tail,
     wola_synthesize,
@@ -103,7 +104,15 @@ def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
     """Stage 1: streaming RIR convolution (ref apvast.py:167-194), shared
     by the time-domain and frequency-domain engines. Two equivalent
     implementations: batched overlap-save FFTs, or (use_pallas_conv) one
-    windows-matmul Pallas kernel per program signal."""
+    windows-matmul Pallas kernel per program signal.
+
+    ``resp``/``target_resp`` are the TAIL-form response blocks (first
+    block - hop samples); returns the updated conv history and the
+    (tail, fresh-hop) PAIRS forming the conceptual full blocks — the
+    analysis stage consumes the pair without materializing the
+    concatenation (split-contraction DFT matmuls), so the reference's
+    per-hop response-buffer slide (apvast.py:173) costs nothing at the
+    production 50% hop."""
     hop = config.hop
     nf = config.fir_fft_size
     m = resp.shape[1]
@@ -140,8 +149,8 @@ def convolve_inputs(config, plan, conv_history, resp, target_resp, hops):
         new_target = irfft_batched(tgt_path_spec, nf)[..., nf - hop :]
     return (
         segments[:, hop:],
-        slide(resp, new_resp),
-        slide(target_resp, new_target),
+        (resp, new_resp),
+        (target_resp, new_target),
     )
 
 
@@ -150,7 +159,41 @@ def _analyze(config, plan, blocks):
     matmuls against the plan's DFT matrices — numerically the same
     transform with O(N) instead of O(log N) rounding. The analysis
     window is FOLDED INTO the matmul matrices (plan.py), so the
-    matmul-DFT path applies no elementwise window pass."""
+    matmul-DFT path applies no elementwise window pass.
+
+    ``blocks`` may be a (tail, fresh) PAIR of a tail-form sliding block
+    (engine stage 1): the matmul-DFT contracts each part against the
+    matching row slice of the DFT matrices — the same sums as the
+    concatenated block, never materialized. The FFT path concatenates
+    (a custom call needs the contiguous block)."""
+    if isinstance(blocks, tuple):
+        if config.use_matmul_dft:
+            tail, fresh = blocks
+            split = tail.shape[-1]
+            re = jnp.einsum(
+                "...n,nk->...k",
+                tail,
+                plan.dft_cos[:split],
+                preferred_element_type=tail.dtype,
+            ) + jnp.einsum(
+                "...n,nk->...k",
+                fresh,
+                plan.dft_cos[split:],
+                preferred_element_type=fresh.dtype,
+            )
+            im = jnp.einsum(
+                "...n,nk->...k",
+                tail,
+                plan.dft_sin[:split],
+                preferred_element_type=tail.dtype,
+            ) + jnp.einsum(
+                "...n,nk->...k",
+                fresh,
+                plan.dft_sin[split:],
+                preferred_element_type=fresh.dtype,
+            )
+            return re - 1j * im
+        blocks = jnp.concatenate(blocks, axis=-1)
     if config.use_matmul_dft:
         x = blocks
         re = jnp.einsum(
@@ -253,7 +296,7 @@ def process_hop(
     hops = jnp.stack([hop_a, hop_b]).astype(dtype)  # (2, hop)
     conv_history, resp, target_resp = convolve_inputs(
         config, plan, state.conv_history, state.resp, state.target_resp, hops
-    )
+    )  # resp/target_resp are (tail, fresh) pairs — see convolve_inputs
 
     # ---- 2+3. perceptual weighting of target and responses -------------
     if config.weighting_conv_taps is not None:
@@ -271,8 +314,9 @@ def process_hop(
             weighting, block, config.weighting_conv_taps, plan.idft_cos_plain
         )  # (2, m, T)
         gate = _signal_gate(config, dtype)
+        resp_full = jnp.concatenate(resp, axis=-1)
         y = circular_weighting_conv(
-            win * resp, kernels, config.weighting_conv_taps
+            win * resp_full, kernels, config.weighting_conv_taps
         )
         new_wr = win * (y * gate[:, None, None, None])
     else:
@@ -534,8 +578,8 @@ def process_hop(
 
     new_state = ApVastState(
         conv_history=conv_history,
-        resp=resp,
-        target_resp=target_resp,
+        resp=slide_tail(resp[0], resp[1], hop),
+        target_resp=slide_tail(target_resp[0], target_resp[1], hop),
         wresp_overlap=wresp_overlap,
         wtarget_overlap=wtarget_overlap,
         wresp_stat=wresp_stat,

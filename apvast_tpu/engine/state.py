@@ -26,10 +26,16 @@ class ApVastState:
     # equivalent of all the reference's lfilter delay-line states
     # (Python/apvast.py:114-120) — one vector per program signal.
     conv_history: jax.Array
-    # Loudspeaker response blocks, (4, mics, srcs, block_size)
-    # (Python/apvast.py:122-127).
+    # Loudspeaker response blocks in TAIL form — the first
+    # block_size - hop samples of the reference's full block
+    # (Python/apvast.py:122-127); stage 1 appends the fresh hop and the
+    # analysis contracts the pair against split DFT-matrix row slices,
+    # so the reference's per-hop response-buffer slide is never
+    # materialized (at 50% hop the carry is a rename of the fresh
+    # chunk). Shape (4, mics, srcs, block_size - hop).
     resp: jax.Array
-    # Target response blocks, (2, mics, block_size) (apvast.py:128-129).
+    # Target response blocks, tail form, (2, mics, block_size - hop)
+    # (apvast.py:128-129).
     target_resp: jax.Array
     # WOLA overlap accumulators of the weighted responses, stored in
     # TAIL form — (..., block_size - hop) instead of the reference's
@@ -97,6 +103,12 @@ def init_state(
     else:
         resp = jnp.zeros(resp_shape, dtype=dtype)
         target_resp = jnp.zeros(tgt_shape, dtype=dtype)
+    # Tail form: the head (first hop) of the injected/seeded full block
+    # is dropped by the first slide before anything reads it, so keeping
+    # only the tail is exact (same RNG draws as the full-block layout —
+    # pinned-metric tests are unaffected).
+    resp = resp[..., config.hop :]
+    target_resp = target_resp[..., config.hop :]
 
     gevd_q = None
     gevd_minv = None

@@ -122,3 +122,15 @@ def slide(buffer: jax.Array, fresh: jax.Array) -> jax.Array:
     Python/apvast.py:173,230-235)."""
     n = fresh.shape[-1]
     return jnp.concatenate([buffer[..., n:], fresh], axis=-1)
+
+
+def slide_tail(tail: jax.Array, fresh: jax.Array, hop: int) -> jax.Array:
+    """Advance a TAIL-form sliding block: ``tail`` holds the first
+    ``block - hop`` samples of the conceptual block, ``fresh`` the
+    final ``hop``; returns the next tail (the conceptual full block
+    shifted by ``hop``, head dropped). At the production 50% hop this
+    is a pure rename of ``fresh`` — no copy at all."""
+    l = tail.shape[-1]
+    if hop >= l:
+        return fresh[..., hop - l :]
+    return jnp.concatenate([tail[..., hop:], fresh], axis=-1)

@@ -97,8 +97,20 @@ def main():
     timeit("1 convolve_inputs (pallas windows-matmul)", conv, plan, state1, hops)
 
     # stages 2+3: weighting + synth + OLA
+    import numpy as _np0
+    _r0 = _np0.random.default_rng(3)
+    fresh_r = jnp.asarray(
+        1e-3 * _r0.standard_normal(s_like := (4, cfg.num_mics, cfg.num_srcs, cfg.hop)),
+        jnp.float32,
+    )
+    fresh_t = jnp.asarray(
+        1e-3 * _r0.standard_normal((2, cfg.num_mics, cfg.hop)), jnp.float32
+    )
+
     def stage23(p, s):
-        wt_spec, r_spec, _ = weighted_spectra(cfg, p, s.resp, s.target_resp)
+        wt_spec, r_spec, _ = weighted_spectra(
+            cfg, p, (s.resp, fresh_r), (s.target_resp, fresh_t)
+        )
         new_wt = _synthesize(cfg, p, wt_spec, cfg.block_size)
         o1, e1 = wola_overlap_add(s.wtarget_overlap, new_wt, cfg.hop)
         st1 = slide(s.wtarget_stat, e1)
@@ -126,14 +138,17 @@ def main():
                 weighting_kernel,
             )
 
-            t_spec, weighting = target_weighting(c, p, s.target_resp)
+            t_spec, weighting = target_weighting(
+                c, p, (s.target_resp, fresh_t)
+            )
             new_wt = _synthesize(c, p, t_spec * weighting, c.block_size)
             o1, e1 = wola_overlap_add(s.wtarget_overlap, new_wt, c.hop)
             st1 = slide(s.wtarget_stat, e1)
             kern = weighting_kernel(
                 weighting, c.block_size, taps, p.idft_cos
             )
-            y = circular_weighting_conv(p.window * s.resp, kern, taps)
+            full = jnp.concatenate([s.resp, fresh_r], axis=-1)
+            y = circular_weighting_conv(p.window * full, kern, taps)
             new_wr = p.window * (
                 y * _signal_gate(c, jnp.float32)[:, None, None, None]
             )
