@@ -331,9 +331,35 @@ def process_hop(
     wresp_overlap, wr_emit = wola_overlap_add_tail(
         state.wresp_overlap, new_wr, hop
     )
-    wresp_stat = slide(state.wresp_stat, wr_emit)
+    # Statistics-buffer update. Under the PYTHON Toeplitz variant every
+    # consumer needs the sample-J-deleted view (ops/framing.py docstring),
+    # and when hop > J the deleted sample of one hop has slid out of the
+    # window by the next — so the state can carry the DELETED buffer
+    # directly and the slide + deletion collapse into one concatenation
+    # (raw[t] = deleted[t-1] for t > J recovers the slide sources).
+    python_del = config.toeplitz_variant is ToeplitzVariant.PYTHON
+    carried_del = python_del and hop > j  # must match init_state
+    if carried_del:
+        prev = state.wresp_stat  # deleted form, (..., stat_len - 1)
+        wresp_stat = jnp.concatenate(
+            [prev[..., hop - 1 : hop - 1 + j], prev[..., hop + j :], wr_emit],
+            axis=-1,
+        )
+    else:
+        wresp_stat = slide(state.wresp_stat, wr_emit)
 
     # ---- 4. statistics (ref apvast.py:329-364) -------------------------
+    # PYTHON Toeplitz variant == statistics of the sample-J-deleted
+    # buffer (see ops/framing.py). With the deleted-form carry above the
+    # deletion has already happened; otherwise apply it here.
+    if python_del and not carried_del:
+        buf_eff = jnp.concatenate(
+            [wresp_stat[..., :j], wresp_stat[..., j + 1 :]], axis=-1
+        )
+    else:
+        buf_eff = wresp_stat
+    k = buf_eff.shape[-1] - j + 1
+    d = wtarget_stat[..., -k:]  # (2, m, k) target alignment
     tap_major = config.use_lag_statistics and config.lag_assembly == "tap"
     if config.use_lag_statistics:
         from apvast_tpu.ops.lag_statistics import (
@@ -343,14 +369,6 @@ def process_hop(
             covariance_via_lags_wide,
         )
 
-        if config.toeplitz_variant is ToeplitzVariant.PYTHON:
-            buf_eff = jnp.concatenate(
-                [wresp_stat[..., :j], wresp_stat[..., j + 1 :]], axis=-1
-            )
-        else:
-            buf_eff = wresp_stat
-        k = buf_eff.shape[-1] - j + 1
-        d = wtarget_stat[..., -k:]
         cov_fn = {
             "tap": covariance_via_lags_tap,
             "pair": covariance_via_lags,
@@ -363,16 +381,6 @@ def process_hop(
             raise ValueError("use_pallas_statistics requires dtype=float32")
         from apvast_tpu.ops.pallas.statistics import covariance_pallas
 
-        # PYTHON Toeplitz variant == frames of the sample-J-deleted buffer
-        # (see ops/framing.py); MATLAB variant frames the buffer as-is.
-        if config.toeplitz_variant is ToeplitzVariant.PYTHON:
-            buf_eff = jnp.concatenate(
-                [wresp_stat[..., :j], wresp_stat[..., j + 1 :]], axis=-1
-            )
-        else:
-            buf_eff = wresp_stat
-        k = buf_eff.shape[-1] - j + 1
-        d = wtarget_stat[..., -k:]  # (2, m, k) target alignment
         r_mats, r_cross = covariance_pallas(
             buf_eff, d, j, interpret=(jax.default_backend() == "cpu")
         )
@@ -380,16 +388,15 @@ def process_hop(
         # (Python/apvast.py:340,356).
         r_vecs = jnp.stack([r_cross[0, :, 0], r_cross[3, :, 1]])
     else:
-        frames = frame_buffer(wresp_stat, j, config.toeplitz_variant)
+        # The deletion (when any) is already in buf_eff: frame as-is.
+        frames = frame_buffer(buf_eff, j, ToeplitzVariant.MATLAB)
         # (4, m, s, k, j) -> Y with rows = source-major reversed taps.
-        k = frames.shape[-2]
         y = (
             jnp.flip(frames, axis=-1)
             .transpose(0, 1, 2, 4, 3)
             .reshape(4, m, s * j, k)
         )
         r_mats = jnp.einsum("pmak,pmbk->pab", y, y, preferred_element_type=dtype)
-        d = wtarget_stat[..., -k:]  # (2, m, k) target alignment, both variants
         r_vecs = jnp.einsum(
             "zmak,zmk->za",
             y[jnp.asarray([0, 3])],  # bright paths A->A and B->B

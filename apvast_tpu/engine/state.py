@@ -16,7 +16,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from apvast_tpu.config import ApVastConfig, GevdSolver
+from apvast_tpu.config import ApVastConfig, GevdSolver, ToeplitzVariant
 
 
 @jax.tree_util.register_dataclass
@@ -45,8 +45,14 @@ class ApVastState:
     # samples). Shapes: (4, mics, srcs, block-hop) / (2, mics, block-hop).
     wresp_overlap: jax.Array
     wtarget_overlap: jax.Array
-    # Statistics buffers of weighted responses,
-    # (4, mics, srcs, stat_len) / (2, mics, stat_len) (apvast.py:139-145).
+    # Statistics buffers of weighted responses (apvast.py:139-145).
+    # Under the PYTHON Toeplitz variant with hop > J, ``wresp_stat``
+    # carries the sample-J-DELETED buffer, (4, mics, srcs, stat_len - 1)
+    # — every statistics consumer needs that view and the deleted sample
+    # slides out of the window before the next hop, so the slide and the
+    # deletion collapse into one pass (engine/hop.py stage 4). Otherwise
+    # (4, mics, srcs, stat_len) raw. ``wtarget_stat`` is always raw,
+    # (2, mics, stat_len).
     wresp_stat: jax.Array
     wtarget_stat: jax.Array
     # Sliding input blocks, (2, block_size) (apvast.py:95-96).
@@ -132,7 +138,20 @@ def init_state(
         target_resp=target_resp,
         wresp_overlap=jnp.zeros((4, m, s, block - config.hop), dtype=dtype),
         wtarget_overlap=jnp.zeros((2, m, block - config.hop), dtype=dtype),
-        wresp_stat=jnp.zeros((4, m, s, n), dtype=dtype),
+        wresp_stat=jnp.zeros(
+            (
+                4,
+                m,
+                s,
+                n - 1
+                if (
+                    config.toeplitz_variant is ToeplitzVariant.PYTHON
+                    and config.hop > config.filter_length
+                )
+                else n,
+            ),
+            dtype=dtype,
+        ),
         wtarget_stat=jnp.zeros((2, m, n), dtype=dtype),
         input_blocks=jnp.zeros((2, block), dtype=dtype),
         out_overlap=jnp.zeros((2, v, s, block - config.hop), dtype=dtype),
