@@ -372,3 +372,55 @@ def test_scale_scene_32_speakers_jl1600():
     c_lo = sweep_contrast(surface[1, 0])
     c_hi = sweep_contrast(surface[1, -1])
     assert c_lo >= c_hi - 1e-6, (c_lo, c_hi)
+
+
+def test_stat_carry_non_deleted_branch():
+    """hop <= filter_length disables the deleted-form statistics carry
+    (engine/hop.py stage 4): the raw-buffer fallback must dispatch, keep
+    consistent state shapes, and agree across statistics branches."""
+    import dataclasses
+
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.engine import build_plan, init_state, process_hop
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(60, 2, 2, seed=3)
+    rir_b = synthetic_rirs(60, 2, 2, seed=4)
+    cfg = ApVastConfig.for_rirs(
+        rir_a,
+        rir_b,
+        block_size=64,
+        filter_length=32,  # == hop: carried_del is False
+        modeling_delay=3,
+        reference_index_a=0,
+        reference_index_b=1,
+        num_eigenvectors=4,
+        mu=1.0,
+        statistics_buffer_length=96,
+        sampling_rate=8000,
+        perceptual=False,
+    )
+    assert cfg.hop == cfg.filter_length
+    outs = {}
+    for name, over in (
+        ("einsum", {}),
+        ("lag", dict(use_lag_statistics=True, lag_assembly="pair")),
+    ):
+        c = dataclasses.replace(cfg, **over)
+        plan = build_plan(c, rir_a, rir_b)
+        state = init_state(c, key=jax.random.key(0))
+        assert state.wresp_stat.shape[-1] == 96  # raw form
+        rng_l = np.random.default_rng(5)
+        for _ in range(3):
+            state, out = process_hop(
+                c,
+                plan,
+                state,
+                jnp.asarray(rng_l.standard_normal(c.hop)),
+                jnp.asarray(rng_l.standard_normal(c.hop)),
+            )
+        outs[name] = np.asarray(out.out_a)
+    scale = np.abs(outs["einsum"]).max()
+    np.testing.assert_allclose(
+        outs["lag"], outs["einsum"], rtol=1e-9, atol=1e-9 * scale
+    )
