@@ -537,18 +537,27 @@ def process_hop(
     if config.use_pallas_output:
         if dtype != jnp.float32:
             raise ValueError("use_pallas_output requires dtype=float32")
-        from apvast_tpu.ops.pallas.output_filter import circular_filter_pallas
+        from apvast_tpu.ops.pallas.output_filter import (
+            circular_filter_overlap_pallas,
+        )
 
         # The spectral product with a J-tap filter IS a circular
         # convolution: one MXU matmul for the whole rank family instead
-        # of ~2VS FFTs.
+        # of ~2VS FFTs — with the synthesis window and the tail-form
+        # overlap-add fused into the kernel epilogue (the full synthesis
+        # tile never round trips through HBM).
         win_in = win * input_blocks  # (2, block)
-        blocks = circular_filter_pallas(
+        bh = block - hop
+        emit_f, tail_f = circular_filter_overlap_pallas(
             win_in,
             filters.reshape(2, v * s, j),
+            win,
+            state.out_overlap.reshape(2, v * s, bh),
+            hop,
             interpret=(jax.default_backend() == "cpu"),
         )
-        new_out = win * blocks.reshape(2, v, s, block)
+        out_emit = emit_f.reshape(2, v, s, hop)
+        out_overlap = tail_f.reshape(2, v, s, bh)
         # The target filter is a delta at (reference index, modeling
         # delay) (apvast.py:389-390) — its circular convolution is a roll.
         rolled = jnp.roll(win_in, config.modeling_delay, axis=-1)
@@ -567,10 +576,9 @@ def process_hop(
         new_out = _synthesize(config, plan, out_spec, block)
         t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
         new_t_out = _synthesize(config, plan, t_out_spec, block)
-
-    out_overlap, out_emit = wola_overlap_add_tail(
-        state.out_overlap, new_out, hop
-    )
+        out_overlap, out_emit = wola_overlap_add_tail(
+            state.out_overlap, new_out, hop
+        )
     target_out_overlap, t_emit = wola_overlap_add_tail(
         state.target_out_overlap, new_t_out, hop
     )
