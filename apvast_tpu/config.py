@@ -429,3 +429,29 @@ class ApVastConfig:
             raise ValueError("rirs of unequal size")  # apvast.py:89-90
         rl, ns, nm = rir_a.shape
         return cls(rir_length=rl, num_srcs=ns, num_mics=nm, **kwargs)
+
+
+def production_overrides(device: str = "tpu") -> dict:
+    """The blessed float32 production configuration — the single source
+    of truth for bench.py's headline engine and every perf tool.
+
+    Performance mode: warm-started top-V subspace GEVD (validated
+    contrast-exact vs the reference solver at every rank,
+    tests/test_subspace_solver.py) + fused Pallas kernels + the Pallas
+    cyclic-Jacobi Rayleigh-Ritz eigensolver. Off-TPU the Pallas/matmul
+    data paths fall back to the XLA equivalents (interpret-mode kernels
+    prove exactness; they are not fast on CPU).
+    """
+    on_tpu = device == "tpu"
+    return dict(
+        dtype="float32",
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_oversample=14,
+        subspace_iters=2,
+        use_pallas_statistics=on_tpu,
+        use_pallas_output=on_tpu,
+        use_pallas_conv=on_tpu,
+        use_matmul_dft=on_tpu,
+        small_eigh="jacobi" if on_tpu else "lapack",
+        jacobi_sweeps=3,
+    )

@@ -60,24 +60,9 @@ _GLOBAL_BUDGET_S = 2700.0  # parent never runs past this (driver safety)
 
 
 def _production_overrides(device: str) -> dict:
-    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.config import production_overrides
 
-    return dict(
-        dtype="float32",
-        # Performance mode: warm-started top-V subspace GEVD (validated
-        # contrast-exact vs the reference solver at every rank,
-        # tests/test_subspace_solver.py) + fused Pallas kernels + the
-        # Pallas cyclic-Jacobi Rayleigh-Ritz eigensolver.
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_pallas_statistics=(device == "tpu"),
-        use_pallas_output=(device == "tpu"),
-        use_pallas_conv=(device == "tpu"),
-        use_matmul_dft=(device == "tpu"),
-        small_eigh="jacobi" if device == "tpu" else "lapack",
-        jacobi_sweeps=3,
-    )
+    return production_overrides(device)
 
 
 def _enable_compile_cache(jax) -> None:
