@@ -12,7 +12,11 @@ from apvast_tpu.ops.jdiag import jdiag, jdiag_batched
 from apvast_tpu.ops.fir import streaming_fir, fir_kernel_spectra
 from apvast_tpu.ops.framing import frame_buffer, statistics_matrices
 from apvast_tpu.ops.synthesis import variable_span_filters
-from apvast_tpu.ops.wola import wola_analyze, wola_overlap_add
+from apvast_tpu.ops.wola import (
+    wola_analyze,
+    wola_overlap_add,
+    wola_overlap_add_tail,
+)
 
 __all__ = [
     "fir_kernel_spectra",
@@ -24,4 +28,5 @@ __all__ = [
     "variable_span_filters",
     "wola_analyze",
     "wola_overlap_add",
+    "wola_overlap_add_tail",
 ]

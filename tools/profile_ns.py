@@ -27,7 +27,7 @@ from apvast_tpu.engine.hop import (
     weighted_spectra,
     _synthesize,
 )
-from apvast_tpu.ops.wola import slide, wola_overlap_add
+from apvast_tpu.ops.wola import slide, wola_overlap_add_tail
 from apvast_tpu.ops.jdiag import jdiag_topk_batched
 from apvast_tpu.utils.scenes import scale_scene
 
@@ -112,10 +112,10 @@ def main():
             cfg, p, (s.resp, fresh_r), (s.target_resp, fresh_t)
         )
         new_wt = _synthesize(cfg, p, wt_spec, cfg.block_size)
-        o1, e1 = wola_overlap_add(s.wtarget_overlap, new_wt, cfg.hop)
+        o1, e1 = wola_overlap_add_tail(s.wtarget_overlap, new_wt, cfg.hop)
         st1 = slide(s.wtarget_stat, e1)
         new_wr = _synthesize(cfg, p, r_spec, cfg.block_size)
-        o2, e2 = wola_overlap_add(s.wresp_overlap, new_wr, cfg.hop)
+        o2, e2 = wola_overlap_add_tail(s.wresp_overlap, new_wr, cfg.hop)
         st2 = slide(s.wresp_stat, e2)
         return o1, st1, o2, st2
 
@@ -142,7 +142,7 @@ def main():
                 c, p, (s.target_resp, fresh_t)
             )
             new_wt = _synthesize(c, p, t_spec * weighting, c.block_size)
-            o1, e1 = wola_overlap_add(s.wtarget_overlap, new_wt, c.hop)
+            o1, e1 = wola_overlap_add_tail(s.wtarget_overlap, new_wt, c.hop)
             st1 = slide(s.wtarget_stat, e1)
             kern = weighting_kernel(
                 weighting, c.block_size, taps, p.idft_cos
@@ -152,7 +152,7 @@ def main():
             new_wr = p.window * (
                 y * _signal_gate(c, jnp.float32)[:, None, None, None]
             )
-            o2, e2 = wola_overlap_add(s.wresp_overlap, new_wr, c.hop)
+            o2, e2 = wola_overlap_add_tail(s.wresp_overlap, new_wr, c.hop)
             st2 = slide(s.wresp_stat, e2)
             return o1, st1, o2, st2
 

@@ -27,7 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from apvast_tpu.config import GevdSolver
 from apvast_tpu.engine import build_plan
 import apvast_tpu.engine.hop as H
-from apvast_tpu.ops.wola import slide, wola_overlap_add
+from apvast_tpu.ops.wola import slide, wola_overlap_add_tail
 from apvast_tpu.utils.scenes import scale_scene
 
 
@@ -48,7 +48,7 @@ def main():
     tresp = jnp.asarray(
         1e-3 * rng.standard_normal((2, m, block)), jnp.float32
     )
-    wov = jnp.zeros((4, m, s, block), jnp.float32)
+    wov = jnp.zeros((4, m, s, block - hop), jnp.float32)
     stat = jnp.zeros((4, m, s, cfg.statistics_buffer_length), jnp.float32)
 
     def pre_analysis(r, t):
@@ -68,7 +68,7 @@ def main():
     def pre_slides(r, t):
         wt_spec, r_spec, _ = H.weighted_spectra(cfg, plan, r, t)
         new_wr = H._synthesize(cfg, plan, r_spec, block)
-        ov, emit = wola_overlap_add(wov, new_wr, hop)
+        ov, emit = wola_overlap_add_tail(wov, new_wr, hop)
         st = slide(stat, emit)
         return ov, st
 
