@@ -170,9 +170,7 @@ def main():
     j = cfg.filter_length
 
     def stage4(s):
-        buf = jnp.concatenate(
-            [s.wresp_stat[..., :j], s.wresp_stat[..., j + 1 :]], axis=-1
-        )
+        buf = s.wresp_stat  # deleted form already (engine/state.py)
         k = buf.shape[-1] - j + 1
         d = s.wtarget_stat[..., -k:]
         return covariance_pallas(buf, d, j)
@@ -183,9 +181,7 @@ def main():
     from apvast_tpu.ops.lag_statistics import covariance_via_lags
 
     def stage4_lag(s, meth):
-        buf = jnp.concatenate(
-            [s.wresp_stat[..., :j], s.wresp_stat[..., j + 1 :]], axis=-1
-        )
+        buf = s.wresp_stat  # deleted form already (engine/state.py)
         k = buf.shape[-1] - j + 1
         d = s.wtarget_stat[..., -k:]
         return covariance_via_lags(buf, d, j, c0_method=meth)
