@@ -352,6 +352,14 @@ class ApVastConfig:
                 raise ValueError(
                     "weighting_conv_taps must be odd and in (0, block_size)"
                 )
+        if self.lag_assembly not in ("wide", "pair", "tap", "skew"):
+            # Otherwise a typo surfaces as a bare KeyError inside the
+            # jitted hop's assembly dispatch (engine/hop.py).
+            raise ValueError(
+                "lag_assembly must be one of 'wide', 'pair', 'tap', 'skew'"
+            )
+        if self.fd_frame_taps < 1:
+            raise ValueError("fd_frame_taps must be >= 1")
         if self.output_spans is not None:
             if len(self.output_spans) == 0:
                 raise ValueError("output_spans must be non-empty")

@@ -117,7 +117,13 @@ def _compute_c0(buf: jax.Array, j: int, c0_method: str) -> jax.Array:
         return lag_corr_pallas(buf, j, interpret=(jax.default_backend() == "cpu"))
     if c0_method == "conv":
         return _c0_conv(buf, k)
-    return _c0_matmul(buf, k)
+    if c0_method == "matmul":
+        return _c0_matmul(buf, k)
+    # An unknown method must not silently fall through to the slowest
+    # variant (_c0_matmul materializes ~200 MB of shift stacks per
+    # path-mic at north-star scale): a perf experiment's typo would
+    # read as a silently wrong measurement.
+    raise ValueError(f"unknown c0_method: {c0_method!r}")
 
 
 def covariance_via_lags(
@@ -302,7 +308,10 @@ def covariance_via_lags_wide(
     values in the same ordering as the per-pair path, so its rounding
     matches the validated configuration, at the wide assembly's speed.
     """
-    r_tap, _ = covariance_via_lags_tap(buf, d, j, c0_method)
+    k = buf.shape[-1] - j + 1
+    if d.shape[-1] != k:
+        raise ValueError(f"target buffer must have K={k} samples")
+    r_tap = _tap_major_matrix(buf, j, c0_method)
     p4, s = buf.shape[0], buf.shape[2]
     r_mats = (
         r_tap.reshape(p4, j, s, j, s)
@@ -406,41 +415,13 @@ def covariance_via_lags_skew(
     return r_mats, r_vecs
 
 
-def covariance_via_lags_tap(
-    buf: jax.Array,
-    d: jax.Array,
-    j: int,
-    c0_method: str = "auto",
-) -> tuple[jax.Array, jax.Array]:
-    """Tap-major lag statistics: R'[(t1,s1),(t2,s2)] = R[(s1,t1),(s2,t2)].
+def _tap_major_matrix(buf: jax.Array, j: int, c0_method: str) -> jax.Array:
+    """The (4, SJ, SJ) tap-major covariance assembly (the matrix half
+    of :func:`covariance_via_lags_tap`); shared with the wide variant
+    so neither traces the cross-correlation pass twice."""
 
-    A symmetric permutation of the source-major statistics (same GEVD
-    spectrum; eigenvectors/filters permute — the engine reshapes filters
-    as (J, S) instead of (S, J)). The point of the permuted layout is the
-    assembly: the source-major layout needs a J x J diagonal shear PER
-    SOURCE PAIR (S^2 small misaligned relayouts — measured ~1.4 ms/hop at
-    SJ=1600, dwarfing the correlation math), whereas tap-major rows group
-    all sources at one tap, so the whole matrix is TWO wide row-linear
-    shears (pad+reshape+slice over contiguous (S*J*S)-wide rows), one
-    cumsum, and one 2D transpose for the symmetric upper half:
-
-      R'[t1*S+s1, t2*S+s2] = C^{(s1,s2)}_{a, a+l},  a = J-1-t1, l = t1-t2
-      C_{a,a+l} = C0[l] + sum_{i=1..a}( x1[K-1+i] x2[K-1+i+l]
-                                       - x1[i-1]  x2[i-1+l] )
-
-    The bracket is ONE einsum over a stacked (mic, edge) contraction axis
-    (right-edge and negated left-edge snippets aligned so both read the
-    same shifted column v = i+l), sheared to diagonal form and cumsummed.
-    The strict upper triangle (t2 > t1) comes from symmetry (R is a Gram
-    sum, R = R^T), via a plain (SJ, SJ) transpose + block-level select.
-
-    Args/returns as :func:`covariance_via_lags`, with both outputs in
-    tap-major ordering.
-    """
     p4, m, s, n = buf.shape
     k = n - j + 1
-    if d.shape[-1] != k:
-        raise ValueError(f"target buffer must have K={k} samples")
     dtype = buf.dtype
 
     c0 = _compute_c0(buf, j, c0_method)  # (4, s1, s2, l)
@@ -504,7 +485,45 @@ def covariance_via_lags_tap(
     rows = np.arange(s * j) // s
     mask = jnp.asarray(rows[:, None] >= rows[None, :])
     r_mats = jnp.where(mask, low, jnp.swapaxes(low, -1, -2))
+    return r_mats
 
+
+def covariance_via_lags_tap(
+    buf: jax.Array,
+    d: jax.Array,
+    j: int,
+    c0_method: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Tap-major lag statistics: R'[(t1,s1),(t2,s2)] = R[(s1,t1),(s2,t2)].
+
+    A symmetric permutation of the source-major statistics (same GEVD
+    spectrum; eigenvectors/filters permute — the engine reshapes filters
+    as (J, S) instead of (S, J)). The point of the permuted layout is the
+    assembly: the source-major layout needs a J x J diagonal shear PER
+    SOURCE PAIR (S^2 small misaligned relayouts — measured ~1.4 ms/hop at
+    SJ=1600, dwarfing the correlation math), whereas tap-major rows group
+    all sources at one tap, so the whole matrix is TWO wide row-linear
+    shears (pad+reshape+slice over contiguous (S*J*S)-wide rows), one
+    cumsum, and one 2D transpose for the symmetric upper half:
+
+      R'[t1*S+s1, t2*S+s2] = C^{(s1,s2)}_{a, a+l},  a = J-1-t1, l = t1-t2
+      C_{a,a+l} = C0[l] + sum_{i=1..a}( x1[K-1+i] x2[K-1+i+l]
+                                       - x1[i-1]  x2[i-1+l] )
+
+    The bracket is ONE einsum over a stacked (mic, edge) contraction axis
+    (right-edge and negated left-edge snippets aligned so both read the
+    same shifted column v = i+l), sheared to diagonal form and cumsummed.
+    The strict upper triangle (t2 > t1) comes from symmetry (R is a Gram
+    sum, R = R^T), via a plain (SJ, SJ) transpose + block-level select.
+
+    Args/returns as :func:`covariance_via_lags`, with both outputs in
+    tap-major ordering.
+    """
+    p4, m, s, n = buf.shape
+    k = n - j + 1
+    if d.shape[-1] != k:
+        raise ValueError(f"target buffer must have K={k} samples")
+    r_mats = _tap_major_matrix(buf, j, c0_method)
     # ---- cross-correlation vectors (tap-major flatten) -----------------
     r_corr = _cross_corr(buf, d, j)  # (2, s, a)
     r_vecs = jnp.flip(r_corr, axis=-1).transpose(0, 2, 1).reshape(2, j * s)

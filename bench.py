@@ -44,6 +44,7 @@ fallback after the TPU child hung in a cold full-engine compile):
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import subprocess
@@ -356,8 +357,20 @@ def _stream_child(
                 lines.append(line.rstrip("\n"))
                 last_line_t[0] = time.time()
 
+    # stderr must be drained WHILE the child runs: a chatty child
+    # (XLA/libtpu warnings during a long compile) otherwise blocks in
+    # write(2) on a full pipe, stops emitting stdout markers, and gets
+    # misdiagnosed as a wedged tunnel by the idle watchdog.
+    stderr_lines: collections.deque[str] = collections.deque(maxlen=16)
+
+    def err_reader():
+        for line in proc.stderr:
+            stderr_lines.append(line.rstrip("\n"))
+
     th = threading.Thread(target=reader, daemon=True)
     th.start()
+    th_err = threading.Thread(target=err_reader, daemon=True)
+    th_err.start()
 
     start = time.time()
     compiling = False
@@ -388,11 +401,8 @@ def _stream_child(
     except subprocess.TimeoutExpired:  # pragma: no cover
         pass
     th.join(timeout=10)
-    stderr_tail = ""
-    try:
-        stderr_tail = (proc.stderr.read() or "")[-400:]
-    except Exception:
-        pass
+    th_err.join(timeout=10)
+    stderr_tail = "\n".join(stderr_lines)[-400:]
 
     with lock:
         captured = list(lines)

@@ -54,21 +54,11 @@ def main():
     nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     nh = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     mode = sys.argv[3] if len(sys.argv) > 3 else "prod"
-    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.config import production_overrides
     from apvast_tpu.engine import build_plan, init_state, run_stream
     from apvast_tpu.utils.scenes import scale_scene
 
-    overrides = dict(
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_pallas_statistics=True,
-        use_pallas_output=True,
-        use_pallas_conv=True,
-        use_matmul_dft=True,
-        small_eigh="jacobi",
-        jacobi_sweeps=3,
-    )
+    overrides = production_overrides()
     if "lag" in mode:
         overrides.update(use_lag_statistics=True, use_pallas_statistics=False)
     if "conv" in mode:

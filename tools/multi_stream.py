@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from apvast_tpu.config import ApVastConfig, GevdSolver
+from apvast_tpu.config import ApVastConfig, production_overrides
 from apvast_tpu.engine import run_stream
 from apvast_tpu.models import MultiSceneApVast
 from apvast_tpu.utils import load_reference_rirs
@@ -33,11 +33,11 @@ def main():
         rir_a, rir_b, block_size=1600, filter_length=100, modeling_delay=20,
         reference_index_a=7, reference_index_b=7, num_eigenvectors=50,
         mu=1.0, statistics_buffer_length=1000, sampling_rate=48000,
-        perceptual=True, dtype="float32",
-        gevd_solver=GevdSolver.SUBSPACE, subspace_oversample=14,
-        subspace_iters=2, small_eigh="jacobi", jacobi_sweeps=3,
-        use_pallas_statistics=True, use_pallas_output=True,
-        use_matmul_dft=True,
+        perceptual=True,
+        # Blessed production config (config.production_overrides) with
+        # ONE deviation: the blocked conv kernel stays off under vmap
+        # (per-stream row-block shapes don't batch).
+        **{**production_overrides(), "use_pallas_conv": False},
     )
     rng = np.random.default_rng(0)
     for n_scenes in counts:

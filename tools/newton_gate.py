@@ -17,7 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from solver_knobs import contrasts, sustained  # noqa: E402
 
-from apvast_tpu.config import GevdSolver  # noqa: E402
+from apvast_tpu.config import GevdSolver, production_overrides  # noqa: E402
 from apvast_tpu.engine import build_plan  # noqa: E402
 from apvast_tpu.utils.scenes import scale_scene  # noqa: E402
 
@@ -26,15 +26,7 @@ def main():
     nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     scene = scale_scene(
         nsrc,
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_pallas_statistics=True,
-        use_pallas_output=True,
-        use_pallas_conv=True,
-        use_matmul_dft=True,
-        small_eigh="jacobi",
-        jacobi_sweeps=3,
+        **production_overrides(),
     )
     base = scene.config
     plan = build_plan(base, scene.rir_a, scene.rir_b)

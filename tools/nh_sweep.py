@@ -24,7 +24,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from apvast_tpu.config import GevdSolver
+from apvast_tpu.config import GevdSolver, production_overrides
 from apvast_tpu.engine import build_plan, init_state, run_stream
 from apvast_tpu.utils.scenes import scale_scene
 
@@ -35,15 +35,7 @@ def main():
     nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     scene = scale_scene(
         nsrc,
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_pallas_statistics=True,
-        use_pallas_output=True,
-        use_pallas_conv=True,
-        use_matmul_dft=True,
-        small_eigh="jacobi",
-        jacobi_sweeps=3,
+        **production_overrides(),
     )
     cfg = scene.config
     plan = build_plan(cfg, scene.rir_a, scene.rir_b)

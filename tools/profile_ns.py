@@ -19,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from apvast_tpu.config import ApVastConfig, GevdSolver
+from apvast_tpu.config import ApVastConfig, GevdSolver, production_overrides
 from apvast_tpu.engine import build_plan, init_state, run_stream
 from apvast_tpu.engine.hop import (
     convolve_inputs,
@@ -60,15 +60,7 @@ def main():
     nsrc = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     scene = scale_scene(
         nsrc,
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_pallas_statistics=True,
-        use_pallas_output=True,
-        use_pallas_conv=True,
-        use_matmul_dft=True,
-        small_eigh="jacobi",
-        jacobi_sweeps=3,
+        **production_overrides(),
     )
     cfg = scene.config
     print(

@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from apvast_tpu.config import GevdSolver
+from apvast_tpu.config import GevdSolver, production_overrides
 from apvast_tpu.engine import build_plan, init_state, process_hop
 from apvast_tpu.evaluation import acoustic_contrast_db, predict_pressure
 from apvast_tpu.utils.scenes import reference_scene, scale_scene
@@ -66,35 +66,27 @@ def main():
     cfg = scene.config
     ranks = [0, cfg.num_eigenvectors - 1]
 
+    # The blessed production configuration, from the single source of
+    # truth bench.py measures (config.production_overrides) — a hand
+    # copy here could silently gate a config bench.py no longer runs.
+    prod_over = production_overrides()
+    if len(sys.argv) > 3:
+        prod_over["jacobi_sweeps"] = int(sys.argv[3])
+
     # Exact solver with the FULL Pallas/matmul-DFT data path: the only
     # difference vs production is the solver itself — and the tunnel
     # rejects the composed FFT-path graph with UNIMPLEMENTED, so the
     # FFT-free data path is also what makes the exact engine runnable
     # on TPU at all.
+    data_path = {k: v for k, v in prod_over.items() if k.startswith("use_")}
     exact_cfg = dataclasses.replace(
-        cfg,
-        gevd_solver=GevdSolver.EIGH,
-        use_pallas_statistics=True,
-        use_pallas_conv=True,
-        use_pallas_output=True,
-        use_matmul_dft=True,
+        cfg, gevd_solver=GevdSolver.EIGH, **data_path
     )
     exact = contrasts(exact_cfg, scene.rir_a, scene.rir_b, hops, ranks)
     print(f"exact eigh: rank1 {exact[ranks[0]]:.3f} dB, "
           f"rank{ranks[1]+1} {exact[ranks[1]]:.3f} dB", flush=True)
 
-    prod_cfg = dataclasses.replace(
-        cfg,
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_pallas_statistics=True,
-        use_pallas_output=True,
-        use_pallas_conv=True,
-        use_matmul_dft=True,
-        small_eigh="jacobi",
-        jacobi_sweeps=int(sys.argv[3]) if len(sys.argv) > 3 else 3,
-    )
+    prod_cfg = dataclasses.replace(cfg, **prod_over)
     prod = contrasts(prod_cfg, scene.rir_a, scene.rir_b, hops, ranks)
     print(f"production: rank1 {prod[ranks[0]]:.3f} dB, "
           f"rank{ranks[1]+1} {prod[ranks[1]]:.3f} dB", flush=True)

@@ -25,7 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from solver_knobs import contrasts  # noqa: E402
 
-from apvast_tpu.config import GevdSolver  # noqa: E402
+from apvast_tpu.config import GevdSolver, production_overrides  # noqa: E402
 from apvast_tpu.engine import build_plan  # noqa: E402
 from apvast_tpu.utils.scenes import scale_scene  # noqa: E402
 
@@ -44,13 +44,12 @@ def main():
     import solver_knobs
 
     solver_knobs.HOPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # Blessed CPU production config with ONE deviation: keep the
+    # matmul-DFT data path ON so the gated graph matches the TPU
+    # engine's FFT-free data path (interpret-mode-exact on CPU).
     scene = scale_scene(
         nsrc,
-        gevd_solver=GevdSolver.SUBSPACE,
-        subspace_oversample=14,
-        subspace_iters=2,
-        use_matmul_dft=True,
-        small_eigh="lapack",
+        **{**production_overrides("cpu"), "use_matmul_dft": True},
     )
     base = scene.config
     plan = build_plan(base, scene.rir_a, scene.rir_b)
