@@ -158,6 +158,168 @@ def _panel_kernel(
         out_r_ref[0] = out_r_ref[0] + r_tile
 
 
+def _packed_kernel(
+    buf_ref, d_ref, out_ref, out_r_ref, windows, *, frame_length,
+    num_frames, pairs, fill_rows, real_rows, want_r,
+):
+    """Large-SJ variant, 128-aligned symmetric tile pairs (VERDICT r2
+    item 4): ONE window fill per (path, mic) grid step serves every
+    block-lower-triangular 128x128 tile pair assigned to this call,
+    accumulated over mics in a packed (npairs, 128, 128) resident
+    output. Versus the row-panel kernel this removes the per-panel
+    re-fill of the shared window rows (4000 -> 2560 rows per grid step
+    at SJ=1600) and the per-panel re-DMA of the input buffer plane."""
+    j, k = frame_length, num_frames
+    m = pl.program_id(1)
+
+    # Static source row + lane offset per window row (see _kernel).
+    for r in range(min(fill_rows, real_rows)):
+        sv = r // j
+        start = j - 1 - (r % j)
+        windows[r, :] = buf_ref[0, 0, sv, start : start + k]
+    if fill_rows > real_rows:
+        windows[real_rows:fill_rows, :] = jnp.zeros(
+            (fill_rows - real_rows, k), jnp.float32
+        )
+
+    first = m == 0
+    for idx, (bi, bj) in enumerate(pairs):
+        tile = jax.lax.dot_general(
+            windows[bi * 128 : (bi + 1) * 128, :],
+            windows[bj * 128 : (bj + 1) * 128, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # where() instead of a pl.when pair per tile: the false branch
+        # reads uninitialized VMEM on the first mic, but select discards
+        # it (no NaN propagation into the kept lane).
+        out_ref[0, idx] = jnp.where(
+            first, tile, tile + out_ref[0, idx]
+        )
+    if want_r:
+        r_tile = jax.lax.dot_general(
+            windows[0:fill_rows, :],
+            d_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_r_ref[0] = jnp.where(first, r_tile, r_tile + out_r_ref[0])
+
+
+def _covariance_pallas_packed(
+    buffers, targets, frame_length, interpret,
+    vmem_budget=15 * 1024 * 1024,
+):
+    """Large-SJ covariance as packed 128-aligned symmetric tile pairs.
+
+    Block rows are partitioned top-down into consecutive groups, each a
+    pallas call whose VMEM footprint (window rows [0, group_hi*128) +
+    its packed pair tiles, output counted double for pipelining copies)
+    stays under ``vmem_budget``. Top-down maximizes the LAST group (the
+    only one that must fill every window row), minimizing total fill
+    work. Returns the same (r_mats, r_cross) as the resident path."""
+    p, m, s, n = buffers.shape
+    j = frame_length
+    k = n - j + 1
+    sj = s * j
+    bs = 128
+    nb = -(-sj // bs)
+    pad_rows = nb * bs
+
+    def group_cost(lo, hi):
+        npairs = sum(bi + 1 for bi in range(lo, hi))
+        return hi * bs * k * 4 + npairs * bs * bs * 4 * 2
+
+    groups: list[tuple[int, int]] = []
+    hi = nb
+    while hi > 0:
+        lo = hi - 1
+        while lo > 0 and group_cost(lo - 1, hi) <= vmem_budget:
+            lo -= 1
+        if group_cost(lo, hi) > vmem_budget:
+            raise NotImplementedError(
+                f"covariance tile pair row ({bs} x {k} f32) group exceeds "
+                "the VMEM budget; use the XLA statistics path"
+            )
+        groups.append((lo, hi))
+        hi = lo
+    groups.reverse()
+
+    d_by_mic = targets.transpose(1, 0, 2)
+    blocks: dict[tuple[int, int], jax.Array] = {}
+    r_cross = None
+    for lo, hi in groups:
+        pairs = tuple((bi, bj) for bi in range(lo, hi) for bj in range(bi + 1))
+        fill_rows = hi * bs
+        want_r = hi == nb  # the full-fill group computes the cross term
+        kernel = functools.partial(
+            _packed_kernel, frame_length=j, num_frames=k, pairs=pairs,
+            fill_rows=fill_rows, real_rows=min(sj, fill_rows), want_r=want_r,
+        )
+        out, out_r = pl.pallas_call(
+            kernel,
+            grid=(p, m),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, s, n),
+                    lambda pi, mi: (pi, mi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2, k),
+                    lambda pi, mi: (mi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, len(pairs), bs, bs),
+                    lambda pi, mi: (pi, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, fill_rows, 2),
+                    lambda pi, mi: (pi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[pltpu.VMEM((fill_rows, k), jnp.float32)],
+            out_shape=(
+                jax.ShapeDtypeStruct((p, len(pairs), bs, bs), jnp.float32),
+                jax.ShapeDtypeStruct((p, fill_rows, 2), jnp.float32),
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * p * m * len(pairs) * bs * bs * k,
+                bytes_accessed=p * m * s * n * 4
+                + p * len(pairs) * bs * bs * 4,
+                transcendentals=0,
+            ),
+        )(buffers, d_by_mic)
+        for idx, pair in enumerate(pairs):
+            blocks[pair] = out[:, idx]
+        if want_r:
+            r_cross = out_r[:, :sj]
+
+    # Assemble the full symmetric matrix from the packed tile pairs.
+    r_full = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    blocks[(bi, bj)]
+                    if bj <= bi
+                    else blocks[(bj, bi)].transpose(0, 2, 1)
+                    for bj in range(nb)
+                ],
+                axis=2,
+            )
+            for bi in range(nb)
+        ],
+        axis=1,
+    )
+    return r_full[:, :sj, :sj], r_cross
+
+
 def _covariance_pallas_panels(buffers, targets, frame_length, interpret, nb):
     """Large-SJ covariance: nb pallas calls, one block-row panel each.
     Returns the same (r_mats, r_cross) as the resident-tile path."""
@@ -237,6 +399,7 @@ def covariance_pallas(
     frame_length: int,
     interpret: bool = False,
     sym_blocks: int = 8,
+    large_sj: str = "packed",
 ):
     """R[p] = sum_m Y_pm Y_pm^T and r[p, :, z] = sum_m Y_pm d_zm.
 
@@ -252,6 +415,10 @@ def covariance_pallas(
             pairs, the strict upper triangle mirrored afterwards —
             bit-identical results at ~57% of the full-GEMM MXU work.
             1 disables (full dot).
+        large_sj: kernel used when the resident tile exceeds VMEM:
+            "packed" (128-aligned symmetric tile pairs, one window fill
+            per grid step) or "panels" (block-row panels, one call per
+            panel — the round-2 variant, kept for A/B measurement).
 
     Returns:
         (r_mats, r_cross): (paths, srcs*J, srcs*J) covariance matrices in
@@ -274,6 +441,10 @@ def covariance_pallas(
                 f"covariance windows ({sj} x {k} f32) exceed the VMEM "
                 "budget even panel-split; reduce filter_length/sources "
                 "or use the XLA statistics path"
+            )
+        if large_sj == "packed":
+            return _covariance_pallas_packed(
+                buffers, targets, frame_length, interpret
             )
         nb = next(
             d

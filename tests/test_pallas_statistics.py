@@ -80,3 +80,43 @@ def test_covariance_split_matches_resident(rng):
         np.testing.assert_allclose(
             np.asarray(c_spl), np.asarray(c_ref), atol=1e-6 * scale
         )
+
+
+def test_covariance_packed_matches_resident(rng):
+    """The packed symmetric-tile-pair kernel (large-SJ path) produces
+    the same covariance and cross-correlation as the resident kernel,
+    including with a budget that forces a multi-call group split and an
+    SJ that is not a multiple of the 128 tile (zero-padded rows)."""
+    from apvast_tpu.ops.pallas.statistics import (
+        _covariance_pallas_packed,
+        covariance_pallas,
+    )
+
+    # sj = 300: 3 tiles of 128 with zero-padded rows (the 32-spk case,
+    # SJ=1600 = 12.5 tiles, is likewise padded). One case keeps the
+    # interpret-mode run inside the fast suite's budget.
+    for s, j in ((3, 100),):
+        n = 2 * j
+        buffers = jnp.asarray(
+            rng.standard_normal((2, 2, s, n)), jnp.float32
+        )
+        targets = jnp.asarray(
+            rng.standard_normal((2, 2, n - j + 1)), jnp.float32
+        )
+        r_ref, c_ref = covariance_pallas(buffers, targets, j, interpret=True)
+        scale = float(np.max(np.abs(np.asarray(r_ref))))
+        k = n - j + 1
+        one_group = 3 * 128 * k * 4 + 6 * 128 * 128 * 4 * 2 + 1
+        # The tightest feasible budget: the top block-row alone (full
+        # window fill + its 3 tile pairs) — forces maximal splitting.
+        min_group = 3 * 128 * k * 4 + 3 * 128 * 128 * 4 * 2 + 1
+        for budget in (one_group, min_group):
+            r_pk, c_pk = _covariance_pallas_packed(
+                buffers, targets, j, True, vmem_budget=budget
+            )
+            np.testing.assert_allclose(
+                np.asarray(r_pk), np.asarray(r_ref), atol=1e-6 * scale
+            )
+            np.testing.assert_allclose(
+                np.asarray(c_pk), np.asarray(c_ref), atol=1e-6 * scale
+            )

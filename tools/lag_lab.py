@@ -129,6 +129,12 @@ def main():
         methods["pallas"] = lambda b, t: covariance_pallas(
             b, t, j, interpret=interp
         )
+        if s * j * j * s * 4 + s * j * k * 4 > 8 * 1024 * 1024:
+            # Large-SJ shapes have two pallas variants; "pallas" above
+            # follows the default (packed). Measure both explicitly.
+            methods["panels"] = lambda b, t: covariance_pallas(
+                b, t, j, interpret=interp, large_sj="panels"
+            )
         if chained:
             del methods["matmul"]  # HBM shift stacks; never competitive
         for method, raw in methods.items():
