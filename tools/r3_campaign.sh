@@ -38,6 +38,7 @@ step r3_matrix_32 1800 python tools/r3_matrix.py 32
 step r3_matrix_16 1500 python tools/r3_matrix.py 16
 # 4. Per-stage device budget after the round-3 structural changes.
 step breakdown_16 1200 python tools/device_breakdown.py 16 64 prod
+step breakdown_32 1200 python tools/device_breakdown.py 32 32 prod
 # 5. Quality gates ON TPU (production vs exact, bundled + north-star).
 step quality_gate 1800 python tools/quality_gate.py 16
 note "campaign done"
