@@ -31,7 +31,11 @@ note "campaign start"
 # 1. The driver-grade artifact first: bench.py parent (north-star child
 #    first inside; persists .bench_last_good.json on success).
 step bench 2760 python bench.py
-# 2. Covariance kernel A/B at both geometries (packed vs panels vs lag).
+# 2. ONE careful first compile of the packed large-SJ kernel, isolated
+#    (a Mosaic failure here must not poison the engine-integrated runs;
+#    if it fails, the engine A/Bs below still measure 'panels').
+step packed_probe 900 python tools/packed_probe.py packed
+# 3. Covariance kernel A/B at both geometries (packed vs panels vs lag).
 step lag_lab 1500 python tools/lag_lab.py --chained
 # 3. Decision matrices: statistics x whitening combos, sustained RTF.
 step r3_matrix_32 1800 python tools/r3_matrix.py 32
