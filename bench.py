@@ -564,7 +564,17 @@ def main() -> int:
     result.update(notes)
     try:
         with open(_LAST_GOOD) as fh:
-            result["last_good_tpu"] = json.load(fh)
+            lg = json.load(fh)
+        result["last_good_tpu"] = lg
+        # Promote the contract number to a clearly-labeled top-level
+        # field: a wedged-at-capture-time tunnel should not bury the
+        # most recent genuine TPU measurement two levels deep.
+        if "north_star_rtf" in lg:
+            result["north_star_rtf_last_good_tpu"] = lg["north_star_rtf"]
+        if "captured_unix" in lg:
+            result["last_good_tpu_age_hours"] = round(
+                (time.time() - lg["captured_unix"]) / 3600.0, 1
+            )
     except (OSError, ValueError):
         pass
     print(json.dumps(result))
