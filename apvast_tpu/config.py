@@ -299,6 +299,19 @@ class ApVastConfig:
     # B > 1 lifts the per-bin rank ceiling to num_srcs * B at
     # O((S B)^3)-per-bin solver cost.
     fd_frame_taps: int = 1
+    # Frequency-domain engine only: leakage-aware per-bin design. The
+    # J-tap truncation projection (fd_hop: ifft -> truncate -> fft)
+    # convolves every designed filter spectrum with the tap window's
+    # Dirichlet kernel D, so a filter "at bin f" also acts on its
+    # neighbors' content — the per-bin-independent design never sees
+    # that realized dark leakage (one structural half of the FD
+    # engine's ~15 dB contrast ceiling, PERF.md). With coupling C > 1
+    # each bin's pencil uses statistics smoothed over (C-1)/2 neighbor
+    # bins with the projection's own weights (|D(o)|^2 for the
+    # covariances, D(o) for the cross vector) — the block-diagonal
+    # approximation of the truncation-coupled quadratic, at UNCHANGED
+    # S x S solver cost. Odd; 1 = classic per-bin design.
+    fd_bin_coupling: int = 1
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).
@@ -360,6 +373,8 @@ class ApVastConfig:
             )
         if self.fd_frame_taps < 1:
             raise ValueError("fd_frame_taps must be >= 1")
+        if self.fd_bin_coupling < 1 or self.fd_bin_coupling % 2 != 1:
+            raise ValueError("fd_bin_coupling must be odd and >= 1")
         if self.output_spans is not None:
             if len(self.output_spans) == 0:
                 raise ValueError("output_spans must be non-empty")
