@@ -198,13 +198,22 @@ def process_hop_fd(
     # covariance sum_o |P(o)|^2 R_{f+o} / J^2 and cross vector
     # sum_o conj(P(o)) r_{f+o} / J — i.e. the SAME S x S pencils, with
     # statistics smoothed by the projection's own leakage weights.
-    # Edge bins use zero padding (the conjugate-mirror of negative
-    # frequencies is neglected for the (C-1)/2 outermost bins).
+    # Edge bins reflect with conjugation: the statistics at a virtual
+    # bin m < 0 (or past Nyquist) are those of the real signal's
+    # negative-frequency line, R_{-f} = conj(R_f), r_{-f} = conj(r_f)
+    # (h_{-f} = conj(h_f) for real inputs), so DC/Nyquist neighborhoods
+    # see their true leakage environment instead of zeros.
     cov_d, cross_d = cov, cross
     if config.fd_bin_coupling > 1:
         import numpy as np
 
         hw = config.fd_bin_coupling // 2
+        nb = config.num_bins
+        if hw >= nb:
+            raise ValueError(
+                f"fd_bin_coupling={config.fd_bin_coupling} spans more "
+                f"than the {nb} available bins"
+            )
         offs = np.arange(-hw, hw + 1)
         p_o = np.exp(
             -2j
@@ -215,25 +224,26 @@ def process_hop_fd(
         w_cov = np.abs(p_o) ** 2 / config.filter_length**2
         w_cross = np.conj(p_o) / config.filter_length
 
-        def shift_bins(x, o):
-            # result[..., f, :*] = x[..., f + o, :*] along axis 1 (bins)
-            if o == 0:
-                return x
-            pad = [(0, 0)] * x.ndim
-            if o > 0:
-                pad[1] = (0, o)
-                return jnp.pad(x, pad)[:, o:]
-            pad[1] = (-o, 0)
-            return jnp.pad(x, pad)[:, :o]
+        def smooth_bins(x, w):
+            # sum_o w[o] * x_virtual[f + o] along axis 1 (bins), where
+            # x_virtual mirrors conjugate-symmetrically about bin 0 (DC)
+            # and bin nb-1 (Nyquist).
+            xc = jnp.conj(x)
+            ext = jnp.concatenate(
+                [
+                    jnp.flip(xc[:, 1 : hw + 1], axis=1),
+                    x,
+                    jnp.flip(xc[:, nb - 1 - hw : nb - 1], axis=1),
+                ],
+                axis=1,
+            )
+            return sum(
+                jnp.asarray(w[i], x.dtype) * ext[:, i : i + nb]
+                for i in range(len(offs))
+            )
 
-        cov_d = sum(
-            jnp.asarray(w_cov[i], cov.dtype) * shift_bins(cov, int(o))
-            for i, o in enumerate(offs)
-        )
-        cross_d = sum(
-            jnp.asarray(w_cross[i], cross.dtype) * shift_bins(cross, int(o))
-            for i, o in enumerate(offs)
-        )
+        cov_d = smooth_bins(cov, w_cov)
+        cross_d = smooth_bins(cross, w_cross)
 
     # ---- batched per-bin Hermitian GEVD -------------------------------
     # Zone A pencil per bin: (cov[AA], cov[AB]); zone B: (cov[BB], cov[BA]).
