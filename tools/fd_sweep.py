@@ -4,8 +4,10 @@ bundled scene (VERDICT round-1 weak #8) — maps the contrast/NMSE
 frontier of the frequency-domain engine next to the time-domain
 engine's operating point.
 
-Usage: fd_sweep.py [--hops N] [--cpu]
-Prints one table row per grid point.
+Usage: fd_sweep.py [--hops N] [--cpu] [--coupling]
+Prints one table row per grid point. --coupling sweeps the round-3
+leakage-aware axis (fd_bin_coupling x fd_frame_taps) at the round-2
+frontier's forgetting/rank instead of the base grid.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hops", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--coupling", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -54,16 +57,33 @@ def main():
     sig_a = rng0.standard_normal(base.hop * args.hops).astype(np.float32)
     sig_b = rng0.standard_normal(base.hop * args.hops).astype(np.float32)
 
-    print(f"{'forget':>7} {'rank':>4} {'reg':>8} "
+    print(f"{'forget':>7} {'rank':>4} {'reg':>8} {'C':>3} {'B':>3} "
           f"{'contrA':>7} {'contrB':>7} {'nmseA':>7} {'nmseB':>7}",
           flush=True)
     import dataclasses
 
+    if args.coupling:
+        # Round-3 leakage axis at the round-2 frontier operating point.
+        grid = [
+            (0.97, 8, None, c, b)
+            for c in (1, 3, 5, 7, 11, 17)
+            for b in (1, 2)
+        ]
+    else:
+        grid = [
+            (forgetting, rank, reg, 1, 1)
+            for forgetting in (0.7, 0.9, 0.97)
+            for rank in (1, 4, 8)
+            for reg in (None, 1e-3)
+        ]
     results = []
-    for forgetting in (0.7, 0.9, 0.97):
-        for rank in (1, 4, 8):
-            for reg in (None, 1e-3):
-                cfg = dataclasses.replace(base, num_eigenvectors=rank)
+    for forgetting, rank, reg, coupling, taps in grid:
+                cfg = dataclasses.replace(
+                    base,
+                    num_eigenvectors=rank,
+                    fd_bin_coupling=coupling,
+                    fd_frame_taps=taps,
+                )
                 plan = build_plan(cfg, rir_a, rir_b)
                 state = init_fd_state(cfg, key=jax.random.key(0))
                 fn = jax.jit(
@@ -98,8 +118,11 @@ def main():
                 nb = float(normalized_mse(p_bb, pt_b))
                 reg_s = "auto" if reg is None else f"{reg:.0e}"
                 print(f"{forgetting:7.2f} {rank:4d} {reg_s:>8} "
+                      f"{coupling:3d} {taps:3d} "
                       f"{ca:7.2f} {cb:7.2f} {na:7.3f} {nb:7.3f}", flush=True)
-                results.append((forgetting, rank, reg, ca, cb, na, nb))
+                results.append(
+                    (forgetting, rank, reg, coupling, taps, ca, cb, na, nb)
+                )
     return results
 
 
