@@ -45,4 +45,6 @@ step breakdown_16 1200 python tools/device_breakdown.py 16 64 prod
 step breakdown_32 1200 python tools/device_breakdown.py 32 32 prod
 # 5. Quality gates ON TPU (production vs exact, bundled + north-star).
 step quality_gate 1800 python tools/quality_gate.py 16
+# 6. FD engine sustained speed at the round-3 coupled operating point.
+step fd_bench 900 python tools/fd_bench.py
 note "campaign done"
