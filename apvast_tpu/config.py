@@ -346,8 +346,10 @@ class ApVastConfig:
             raise ValueError(
                 "statistics_buffer_length must exceed filter_length"
             )
-        if self.hop_size is not None and self.hop_size > self.statistics_buffer_length:
-            raise ValueError("hop_size must not exceed statistics_buffer_length")
+        # hop > statistics_buffer_length is VALID (a statistics window
+        # shorter than one hop — each update sees only the most recent
+        # window; ops/wola.slide preserves the configured length), so no
+        # constraint between the two is enforced.
         if not 0 <= self.modeling_delay < self.filter_length:
             # The reference would place the target-filter delta into the
             # next source's coefficient block (flat index J*ref + delay,
@@ -391,6 +393,22 @@ class ApVastConfig:
     def hop(self) -> int:
         """Effective hop size (Python/apvast.py:93)."""
         return self.hop_size if self.hop_size is not None else self.block_size // 2
+
+    @property
+    def carried_deleted_statistics(self) -> bool:
+        """Whether the state carries the statistics buffer in sample-J-
+        DELETED form (engine/hop.py stage 4): PYTHON Toeplitz variant,
+        the deleted sample slides out of the window before the next hop
+        (hop > J), AND the deleted-form concatenation's slice sources
+        exist (hop + J <= statistics_buffer_length — for larger hops the
+        first J samples of the slid buffer extend into the fresh emit,
+        so the general slide-then-delete path must run instead).
+        Single source of truth for init_state and process_hop."""
+        return (
+            self.toeplitz_variant is ToeplitzVariant.PYTHON
+            and self.hop > self.filter_length
+            and self.hop + self.filter_length <= self.statistics_buffer_length
+        )
 
     @property
     def effective_reg_b_relative(self) -> float:

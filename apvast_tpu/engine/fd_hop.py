@@ -38,6 +38,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from apvast_tpu.config import ApVastConfig
 from apvast_tpu.engine.hop import (
@@ -141,8 +142,10 @@ def process_hop_fd(
 
     ``forgetting``: exponential decay of the per-bin covariance recursion
     (the FD analog of the reference's sliding statistics buffer).
-    ``reg``: diagonal loading per bin, default ``config.reg_b`` scaled by
-    the mean covariance trace for scale invariance.
+    ``reg``: diagonal loading per bin; the default is ``config.reg_b``
+    as an absolute floor PLUS 1e-4 of each bin's mean dark-covariance
+    trace (the additive trace term provides the scale invariance and
+    dominates on warmed-up statistics).
     """
     dtype = jnp.dtype(config.dtype)
     hop, block = config.hop, config.block_size
@@ -154,6 +157,11 @@ def process_hop_fd(
             f"frequency-domain span rank is per-bin: num_eigenvectors={v} "
             f"must be <= num_srcs * fd_frame_taps = {sb}"
         )
+    if config.output_spans is not None:
+        # The FD engine's cumulative per-bin synthesis always emits every
+        # rank 1..V; a span subset would silently change the rank axis
+        # consumers see (config.num_solutions) — reject rather than drop.
+        raise ValueError("output_spans is not supported by the FD engine")
     win = plan.window
 
     hops = jnp.stack([hop_a, hop_b]).astype(dtype)
@@ -205,8 +213,6 @@ def process_hop_fd(
     # see their true leakage environment instead of zeros.
     cov_d, cross_d = cov, cross
     if config.fd_bin_coupling > 1:
-        import numpy as np
-
         hw = config.fd_bin_coupling // 2
         nb = config.num_bins
         if hw >= nb:

@@ -338,7 +338,7 @@ def process_hop(
     # directly and the slide + deletion collapse into one concatenation
     # (raw[t] = deleted[t-1] for t > J recovers the slide sources).
     python_del = config.toeplitz_variant is ToeplitzVariant.PYTHON
-    carried_del = python_del and hop > j  # must match init_state
+    carried_del = config.carried_deleted_statistics  # matches init_state
     if carried_del:
         prev = state.wresp_stat  # deleted form, (..., stat_len - 1)
         wresp_stat = jnp.concatenate(
@@ -583,11 +583,9 @@ def process_hop(
         state.target_out_overlap, new_t_out, hop
     )
 
-    # Emit (v, hop, srcs), target outputs broadcast over the rank axis to
-    # match the reference's per-rank duplicated target list
-    # (apvast.py:501-504).
     # Emit (v, hop, srcs); targets as a single (hop, srcs) copy (the
-    # wrappers broadcast to the reference's per-rank duplicated list).
+    # wrappers broadcast to the reference's per-rank duplicated target
+    # list, apvast.py:501-504 — no per-rank target buffers in the carry).
     out_vhs = out_emit.transpose(0, 1, 3, 2)  # (2, v, hop, s)
     t_vhs = t_emit.transpose(0, 2, 1)  # (2, hop, s)
 

@@ -16,7 +16,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from apvast_tpu.config import ApVastConfig, GevdSolver, ToeplitzVariant
+from apvast_tpu.config import ApVastConfig, GevdSolver
 
 
 @jax.tree_util.register_dataclass
@@ -139,17 +139,7 @@ def init_state(
         wresp_overlap=jnp.zeros((4, m, s, block - config.hop), dtype=dtype),
         wtarget_overlap=jnp.zeros((2, m, block - config.hop), dtype=dtype),
         wresp_stat=jnp.zeros(
-            (
-                4,
-                m,
-                s,
-                n - 1
-                if (
-                    config.toeplitz_variant is ToeplitzVariant.PYTHON
-                    and config.hop > config.filter_length
-                )
-                else n,
-            ),
+            (4, m, s, n - 1 if config.carried_deleted_statistics else n),
             dtype=dtype,
         ),
         wtarget_stat=jnp.zeros((2, m, n), dtype=dtype),

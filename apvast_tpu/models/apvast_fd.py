@@ -62,9 +62,11 @@ class ApVastFD:
             perceptual=perceptual,
             **config_overrides,
         )
-        if number_of_eigenvectors > self.config.num_srcs:
+        rank_cap = self.config.num_srcs * self.config.fd_frame_taps
+        if number_of_eigenvectors > rank_cap:
             raise ValueError(
-                "FD span rank (number_of_eigenvectors) must be <= num_srcs"
+                "FD span rank (number_of_eigenvectors) must be <= "
+                f"num_srcs * fd_frame_taps = {rank_cap}"
             )
         self.forgetting = float(forgetting)
         self.plan = build_plan(self.config, rir_a, rir_b)

@@ -119,8 +119,14 @@ def wola_overlap_add_tail(
 def slide(buffer: jax.Array, fresh: jax.Array) -> jax.Array:
     """Append ``fresh`` samples to a sliding time buffer, dropping the
     oldest (the reference's ``concat(buf[idx], new)`` pattern,
-    Python/apvast.py:173,230-235)."""
+    Python/apvast.py:173,230-235). When ``fresh`` is longer than the
+    buffer (hop > statistics window) the result is the most recent
+    ``len(buffer)`` samples — the window length is ALWAYS preserved
+    (the naive concat would silently grow the carried buffer to hop
+    length, breaking lax.scan's carry contract; code-review r3)."""
     n = fresh.shape[-1]
+    if n >= buffer.shape[-1]:
+        return fresh[..., n - buffer.shape[-1] :]
     return jnp.concatenate([buffer[..., n:], fresh], axis=-1)
 
 

@@ -310,3 +310,41 @@ def test_fd_cross_frame_taps_runs_and_allows_higher_rank():
     assert not np.allclose(
         np.asarray(state.spec_hist[0]), np.asarray(prev_spec[0])
     )
+
+
+def test_fd_wrapper_rank_cap_honors_frame_taps():
+    """The ApVastFD wrapper must accept span ranks up to
+    num_srcs * fd_frame_taps (the engine's documented ceiling), and the
+    FD engine must reject output_spans (its cumulative synthesis always
+    emits every rank) rather than silently dropping it (code-review r3)."""
+    import numpy as np
+
+    from apvast_tpu import ApVastFD
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(60, 3, 2, seed=3)
+    rir_b = synthetic_rirs(60, 3, 2, seed=4)
+    common = dict(
+        block_size=64, rir_a=rir_a, rir_b=rir_b, filter_length=16,
+        modeling_delay=3, reference_index_a=0, reference_index_b=1,
+        mu=1.0, sampling_rate=8000, perceptual=False,
+        key=jax.random.key(0),
+    )
+    # rank 5 > num_srcs=3 but <= 3 * 2 with fd_frame_taps=2.
+    m = ApVastFD(number_of_eigenvectors=5, fd_frame_taps=2, **common)
+    rng = np.random.default_rng(0)
+    out_a, *_ = m.process_signals(
+        rng.standard_normal(m.config.hop * 4),
+        rng.standard_normal(m.config.hop * 4),
+    )
+    assert out_a.shape[0] == 5
+    assert np.isfinite(np.asarray(out_a)).all()
+    with pytest.raises(ValueError, match="num_srcs \\* fd_frame_taps"):
+        ApVastFD(number_of_eigenvectors=4, **common)
+    with pytest.raises(ValueError, match="output_spans"):
+        m2 = ApVastFD(
+            number_of_eigenvectors=3, output_spans=(2,), **common
+        )
+        m2.process_input_buffers(
+            np.zeros(m2.config.hop), np.zeros(m2.config.hop)
+        )

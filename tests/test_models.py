@@ -197,7 +197,7 @@ def test_config_validation_extras():
               num_eigenvectors=3, mu=1.0, statistics_buffer_length=96,
               sampling_rate=8000)
     for bad in [dict(modeling_delay=12), dict(modeling_delay=-1),
-                dict(modeling_delay=4, hop_size=120)]:
+                dict(modeling_delay=4, hop_size=200)]:  # hop > block
         try:
             ApVastConfig(**{**kw, **bad})
             raise AssertionError(f"expected rejection for {bad}")
@@ -424,3 +424,119 @@ def test_stat_carry_non_deleted_branch():
     np.testing.assert_allclose(
         outs["lag"], outs["einsum"], rtol=1e-9, atol=1e-9 * scale
     )
+
+
+def test_stat_carry_large_hop_fallback():
+    """hop > filter_length but hop + filter_length > stat_len: the
+    deleted-form carry's slice sources would clamp (its first J samples
+    extend into the fresh emit), so config.carried_deleted_statistics
+    must be False and the general slide-then-delete path must run —
+    previously this config sized a wrong-length buffer that crashed
+    lax.scan (code-review r3)."""
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.engine import build_plan, init_state, process_hop, run_stream
+
+    rir_a = synthetic_rirs(60, 2, 2, seed=3)
+    rir_b = synthetic_rirs(60, 2, 2, seed=4)
+    cfg = ApVastConfig.for_rirs(
+        rir_a,
+        rir_b,
+        block_size=128,
+        filter_length=32,
+        hop_size=80,  # hop > J, hop + J = 112 > stat_len = 96
+        modeling_delay=3,
+        reference_index_a=0,
+        reference_index_b=1,
+        num_eigenvectors=4,
+        mu=1.0,
+        statistics_buffer_length=96,
+        sampling_rate=8000,
+        perceptual=False,
+    )
+    assert cfg.hop > cfg.filter_length
+    assert not cfg.carried_deleted_statistics
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    assert state.wresp_stat.shape[-1] == 96  # raw form
+    rng_l = np.random.default_rng(5)
+    sig_a = rng_l.standard_normal(cfg.hop * 3)
+    sig_b = rng_l.standard_normal(cfg.hop * 3)
+    # The scan (carry-structure strict) must run...
+    _, outs = run_stream(
+        cfg, plan, state, jnp.asarray(sig_a), jnp.asarray(sig_b)
+    )
+    assert np.isfinite(np.asarray(outs.out_a)).all()
+    # ...and match the hop-by-hop drive (scan and eager trace fuse
+    # differently; agreement is to float64 roundoff, not bitwise).
+    st = state
+    for h in range(3):
+        st, out = process_hop(
+            cfg,
+            plan,
+            st,
+            jnp.asarray(sig_a[h * cfg.hop : (h + 1) * cfg.hop]),
+            jnp.asarray(sig_b[h * cfg.hop : (h + 1) * cfg.hop]),
+        )
+    scale = np.abs(np.asarray(outs.out_a[-1])).max()
+    np.testing.assert_allclose(
+        np.asarray(out.out_a),
+        np.asarray(outs.out_a[-1]),
+        rtol=1e-9,
+        atol=1e-9 * scale,
+    )
+    # Boundary: hop + J == stat_len keeps the deleted-form carry.
+    cfg_edge = dataclasses.replace(cfg, hop_size=64)
+    assert cfg_edge.carried_deleted_statistics
+    st_edge = __import__("apvast_tpu.engine", fromlist=["init_state"]).init_state(
+        cfg_edge, key=jax.random.key(0)
+    )
+    assert st_edge.wresp_stat.shape[-1] == 95  # deleted form
+
+
+def test_hop_exceeding_statistics_buffer_keeps_window_length():
+    """hop > statistics_buffer_length is a valid configuration (the
+    statistics window sees only the most recent stat_len samples of
+    each hop) — slide() must PRESERVE the configured window length
+    instead of silently growing the carried buffer to hop length
+    (which broke lax.scan's carry contract; code-review r3)."""
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.engine import build_plan, init_state, process_hop, run_stream
+
+    rir_a = synthetic_rirs(60, 2, 2, seed=3)
+    rir_b = synthetic_rirs(60, 2, 2, seed=4)
+    cfg = ApVastConfig.for_rirs(
+        rir_a,
+        rir_b,
+        block_size=256,  # default hop 128 > stat 96
+        filter_length=32,
+        modeling_delay=3,
+        reference_index_a=0,
+        reference_index_b=1,
+        num_eigenvectors=4,
+        mu=1.0,
+        statistics_buffer_length=96,
+        sampling_rate=8000,
+        perceptual=False,
+    )
+    assert cfg.hop == 128 and not cfg.carried_deleted_statistics
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    rng_l = np.random.default_rng(5)
+    st, out = process_hop(
+        cfg,
+        plan,
+        state,
+        jnp.asarray(rng_l.standard_normal(cfg.hop)),
+        jnp.asarray(rng_l.standard_normal(cfg.hop)),
+    )
+    assert st.wresp_stat.shape == state.wresp_stat.shape  # window kept
+    assert st.wtarget_stat.shape == state.wtarget_stat.shape
+    # The scan path (strict carry structure) must also run.
+    _, outs = run_stream(
+        cfg,
+        plan,
+        state,
+        jnp.asarray(rng_l.standard_normal(cfg.hop * 2)),
+        jnp.asarray(rng_l.standard_normal(cfg.hop * 2)),
+    )
+    assert np.isfinite(np.asarray(outs.out_a)).all()
