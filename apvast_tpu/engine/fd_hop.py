@@ -162,6 +162,16 @@ def process_hop_fd(
         # rank 1..V; a span subset would silently change the rank axis
         # consumers see (config.num_solutions) — reject rather than drop.
         raise ValueError("output_spans is not supported by the FD engine")
+    if mic_axis is not None and config.use_pallas_conv:
+        # Same incompatibility as the TD engine (engine/hop.py): the
+        # Pallas conv kernel's row stack folds the GLOBAL mic axis while
+        # the sharded state carries only the local mic block — without
+        # this guard the mismatch surfaces as an opaque concatenate
+        # shape error at trace time.
+        raise ValueError(
+            "use_pallas_conv is incompatible with mic sharding (the kernel "
+            "row stack folds the global mic axis)"
+        )
     win = plan.window
 
     hops = jnp.stack([hop_a, hop_b]).astype(dtype)

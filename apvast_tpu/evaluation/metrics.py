@@ -28,11 +28,11 @@ def predict_pressure(loudspeaker_signals, rirs):
         (..., T, mics): sum over sources of signal (*) rir, truncated to
         T samples as scipy/MATLAB ``filter`` does.
     """
+    from apvast_tpu.config import _next_pow2
+
     t = loudspeaker_signals.shape[-2]
     rl = rirs.shape[0]
-    nfft = 1
-    while nfft < t + rl - 1:
-        nfft *= 2
+    nfft = _next_pow2(t + rl - 1)
     sig_spec = rfft_batched(
         jnp.moveaxis(loudspeaker_signals, -1, -2), nfft
     )  # (..., srcs, nfft/2+1)

@@ -96,13 +96,13 @@ def gammatone_center_frequencies(f_low: float, f_high: float):
     return centers, bandwidths
 
 
-def gammatone_magnitude_bank(
-    f_low: float, f_high: float, frequency: np.ndarray
+def _gammatone_responses(
+    centers: np.ndarray, bandwidths: np.ndarray, frequency: np.ndarray
 ) -> np.ndarray:
-    """4th-order gammatone magnitude responses, shape (bins, channels)
-    (gammatoneFilterResponse.m:7-19)."""
+    """4th-order gammatone magnitude responses for given center/ERB
+    grids, shape (bins, channels) — the shared evaluation behind both
+    front-end parameterizations (gammatoneFilterResponse.m:7-19)."""
     order = 4
-    centers, bandwidths = gammatone_center_frequencies(f_low, f_high)
     # k = 2^(n-1) (n-1)! / (pi (2n-3)!!) relates the -3 dB bandwidth of a
     # gammatone filter to its ERB; for n = 4, (2n-3)!! = 5!! = 15.
     double_fact = float(np.prod(np.arange(2 * order - 3, 0, -2)))
@@ -110,6 +110,14 @@ def gammatone_magnitude_bank(
     f = np.asarray(frequency, dtype=np.float64)[:, None]
     detune = (f - centers[None, :]) / (k * bandwidths[None, :])
     return (1.0 + detune**2) ** (-order / 2.0)
+
+
+def gammatone_magnitude_bank(
+    f_low: float, f_high: float, frequency: np.ndarray
+) -> np.ndarray:
+    """Responses on the MATLAB model's 1-ERB-spaced center grid."""
+    centers, bandwidths = gammatone_center_frequencies(f_low, f_high)
+    return _gammatone_responses(centers, bandwidths, frequency)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,16 +146,11 @@ def fixed_taps_gammatone_bank(
     parameterization (Python/apvast.py:79 passes taps=32) as opposed to
     the MATLAB model's 1-ERB spacing with a rate-dependent channel count
     (gammatoneFilterResponse.m:32-52). Shape (bins, taps)."""
-    order = 4
     top = _erb_scale(np.array([sampling_rate / 2.0]))[0]
     points = (np.arange(taps) + 0.5) * (top / taps)
     centers = _erb_to_hz(points)
     bandwidths = 24.7 + centers / 9.265
-    double_fact = float(np.prod(np.arange(2 * order - 3, 0, -2)))
-    k = 2.0 ** (order - 1) * math.factorial(order - 1) / (math.pi * double_fact)
-    f = np.asarray(frequency, dtype=np.float64)[:, None]
-    detune = (f - centers[None, :]) / (k * bandwidths[None, :])
-    return (1.0 + detune**2) ** (-order / 2.0)
+    return _gammatone_responses(centers, bandwidths, frequency)
 
 
 def build_perceptual_tables(

@@ -24,12 +24,26 @@ def load_native() -> ctypes.CDLL:
         return _LIB
     lib_path = os.path.abspath(os.path.join(_NATIVE_DIR, "libapvast_rt.so"))
     src_path = os.path.abspath(os.path.join(_NATIVE_DIR, "apvast_rt.cpp"))
-    if not os.path.exists(lib_path) or os.path.getmtime(src_path) > os.path.getmtime(lib_path):
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", lib_path, src_path],
-            check=True,
-            capture_output=True,
+    have_lib = os.path.exists(lib_path)
+    have_src = os.path.exists(src_path)
+    if not have_lib and not have_src:
+        raise FileNotFoundError(
+            f"neither {lib_path} nor its source {src_path} exists"
         )
+    # A prebuilt library without the source (deployment artifact) loads
+    # as-is; rebuild only when the source is present and newer.
+    if have_src and (
+        not have_lib or os.path.getmtime(src_path) > os.path.getmtime(lib_path)
+    ):
+        proc = subprocess.run(
+            ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", lib_path, src_path],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native build failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+            )
     lib = ctypes.CDLL(lib_path)
 
     u64, ptr, f32p = ctypes.c_uint64, ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)

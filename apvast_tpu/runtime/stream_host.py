@@ -76,7 +76,14 @@ class StreamHost:
         return True
 
     def pull_output(self, zone: str, src: int, n: int) -> np.ndarray:
-        rings = self.outputs_a if zone == "a" else self.outputs_b
+        if zone == "a":
+            rings = self.outputs_a
+        elif zone == "b":
+            rings = self.outputs_b
+        else:
+            # A typo ('A', 'zone_a', ...) must not silently play the
+            # OTHER zone's program into this zone's loudspeaker.
+            raise ValueError(f"zone must be 'a' or 'b', got {zone!r}")
         return rings[src].read(n)
 
     # -- engine side -----------------------------------------------------
@@ -123,4 +130,9 @@ class StreamHost:
 
     @property
     def dropped_input_hops(self) -> int:
+        """Native-framer short-write drops. Structurally 0 under
+        ``push_input`` (its atomic writable pre-check rejects whole
+        chunk pairs first — see ``dropped_input_chunks`` for that
+        count); nonzero only if a caller bypasses the host and pushes
+        the framers directly."""
         return self.input_a.dropped + self.input_b.dropped

@@ -20,14 +20,26 @@ import numpy as np
 from apvast_tpu.config import ApVastConfig
 from apvast_tpu.engine.state import ApVastState
 
+# Complex leaves (the FD engine's cov/cross/spec_hist) are split into a
+# stacked (real, imag) float pair ON DEVICE before host transfer: the
+# axon runtime cannot host-transfer complex arrays (see engine/plan.py),
+# so a complex np.asarray would fail exactly on the production backend.
+_REIM_SUFFIX = "__reim"
 
-def save_state(path: str, state: ApVastState) -> None:
-    """Write all state leaves to one ``.npz`` file (None fields skipped)."""
-    arrays = {
-        f.name: np.asarray(getattr(state, f.name))
-        for f in dataclasses.fields(state)
-        if getattr(state, f.name) is not None
-    }
+
+def save_state(path: str, state) -> None:
+    """Write all state leaves to one ``.npz`` file (None fields skipped).
+    Accepts any engine state dataclass (ApVastState or FdState)."""
+    arrays = {}
+    for f in dataclasses.fields(state):
+        leaf = getattr(state, f.name)
+        if leaf is None:
+            continue
+        if jnp.iscomplexobj(leaf):
+            pair = jnp.stack([jnp.real(leaf), jnp.imag(leaf)])
+            arrays[f.name + _REIM_SUFFIX] = np.asarray(pair)
+        else:
+            arrays[f.name] = np.asarray(leaf)
     np.savez(path, **arrays)
 
 
@@ -35,18 +47,24 @@ def load_state(
     path: str,
     config: ApVastConfig | None = None,
     state_cls: type = ApVastState,
-) -> ApVastState:
+):
     """Restore a state pytree; validates shapes against ``config`` if
     given (a mismatched config would silently corrupt the stream).
     ``state_cls`` selects the engine family (ApVastState or the
-    frequency-domain engine's FdState)."""
+    frequency-domain engine's FdState); validation covers both."""
     data = np.load(path)
-    fields = {name: jnp.asarray(data[name]) for name in data.files}
+    fields = {}
+    for name in data.files:
+        if name.endswith(_REIM_SUFFIX):
+            pair = jnp.asarray(data[name])
+            fields[name[: -len(_REIM_SUFFIX)]] = jax.lax.complex(
+                pair[0], pair[1]
+            )
+        else:
+            fields[name] = jnp.asarray(data[name])
     state = state_cls(**fields)
-    if state_cls is not ApVastState:
-        return state
     if config is not None:
-        expected = init_shapes(config)
+        expected = init_shapes(config, state_cls=state_cls)
         for name, shape in expected.items():
             leaf = getattr(state, name, None)
             if shape is None:
@@ -59,11 +77,16 @@ def load_state(
     return state
 
 
-def init_shapes(config: ApVastConfig) -> dict[str, tuple[int, ...]]:
+def init_shapes(
+    config: ApVastConfig, state_cls: type = ApVastState
+) -> dict[str, tuple[int, ...]]:
     """Expected state-leaf shapes for a config (used for validation)."""
-    from apvast_tpu.engine.state import init_state
+    if state_cls is ApVastState:
+        from apvast_tpu.engine.state import init_state as init_fn
+    else:
+        from apvast_tpu.engine.fd_hop import init_fd_state as init_fn
 
-    ref = jax.eval_shape(lambda: init_state(config))
+    ref = jax.eval_shape(lambda: init_fn(config))
     return {
         f.name: (None if getattr(ref, f.name) is None else getattr(ref, f.name).shape)
         for f in dataclasses.fields(ref)

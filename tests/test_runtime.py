@@ -203,3 +203,21 @@ def test_push_input_atomic_drop(rng):
     assert host.dropped_input_chunks > 0
     # Alignment invariant: both framers hold identical sample counts.
     assert host.input_a.ready == host.input_b.ready
+
+
+def test_pull_output_zone_validation():
+    """pull_output must reject unknown zone strings instead of silently
+    routing them to zone B's rings (code-review r3)."""
+    rir_a = synthetic_rirs(60, 3, 2, seed=41)
+    rir_b = synthetic_rirs(60, 3, 2, seed=42)
+    model = ApVast(
+        block_size=128, rir_a=rir_a, rir_b=rir_b, filter_length=12,
+        modeling_delay=4, reference_index_a=0, reference_index_b=0,
+        number_of_eigenvectors=3, mu=1.0, statistics_buffer_length=96,
+        sampling_rate=8000, perceptual=False, key=jax.random.key(0),
+        dtype="float32",
+    )
+    host = StreamHost(model, span_index=-1)
+    for bad in ("A", "zone_a", ""):
+        with pytest.raises(ValueError, match="zone"):
+            host.pull_output(bad, 0, 4)

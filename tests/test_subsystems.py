@@ -4,6 +4,8 @@ checkpoint/resume, observability, detectability metric, checkify guards."""
 import dataclasses
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,10 +195,23 @@ def test_fd_state_checkpoint_roundtrip(tmp_path):
     )
     state = init_fd_state(cfg, key=jax.random.key(4))
     path = os.path.join(tmp_path, "fd.npz")
+    # Complex leaves (cov/cross) are split into real pairs ON DEVICE
+    # before host transfer (the axon runtime cannot transfer complex).
     save_state(path, state)
-    back = load_state(path, state_cls=FdState)
+    back = load_state(path, config=cfg, state_cls=FdState)
+    assert back.cov.dtype == state.cov.dtype
     np.testing.assert_array_equal(np.asarray(back.cov), np.asarray(state.cov))
     np.testing.assert_array_equal(np.asarray(back.resp), np.asarray(state.resp))
+    # Config validation must cover the FD family too (code-review r3):
+    # a checkpoint from a different geometry is rejected, not returned.
+    other = ApVastConfig.for_rirs(
+        rir_a, rir_a, block_size=128, filter_length=8, modeling_delay=2,
+        reference_index_a=0, reference_index_b=0, num_eigenvectors=3,
+        mu=1.0, statistics_buffer_length=17, sampling_rate=8000,
+        perceptual=False,
+    )
+    with pytest.raises(ValueError, match="shape"):
+        load_state(path, config=other, state_cls=FdState)
 
 
 def test_hop_metrics_disabled_zone(small_scene):
