@@ -79,7 +79,7 @@ def _kernel(lhs_ref, rhs_ref, c0_ref, out_ref, acc_ref, *, s1, j, bands):
             acc_ref[:] = _shift_left(acc_ref[:]) + row
         # Output row band t1 = J-1-a sits at block-local index
         # bands-1-q (the step's t1 range is [J-(b+1)B, J-1-bB]).
-        out_ref[0, :, bands - 1 - q, :] = acc_ref[:]
+        out_ref[0, bands - 1 - q, :, :] = acc_ref[:]
 
 
 def _shift_left(x: jax.Array) -> jax.Array:
@@ -124,36 +124,71 @@ def lag_skew_assemble(
         )
     if j % bands_per_step:
         raise ValueError(f"bands_per_step must divide J={j}")
+    if not interpret and (s1 % 8 or (bands_per_step * s1) % 8):
+        raise ValueError(
+            "skew assembly needs the source count to be a multiple of 8 "
+            f"(got {s1}) — Mosaic block sublane alignment; use the wide "
+            "lag assembly for other geometries"
+        )
     nb = j // bands_per_step
-    return pl.pallas_call(
+
+    # Mosaic requires the last two dims of every block shape to be
+    # (8, 128)-aligned. Zero-pad the contraction axis c (lhs lanes, rhs
+    # sublanes; zero columns contract to zero) and the output lane axis
+    # w (rhs/c0 lanes). Pad-lane garbage from the in-kernel roll
+    # propagates leftward ONE lane per band, so at band a it occupies
+    # lanes >= w_pad - a, i.e. taps t2 >= j - a + (w_pad - w)
+    # > j - 1 - a = t1 — always inside the strict-upper-tap region the
+    # symmetric completion overwrites, for every J and pad width.
+    c_pad = -(-c // 128) * 128
+    w_pad = -(-w // 128) * 128
+    if c_pad != c:
+        lhs_t = jnp.pad(lhs_t, ((0, 0), (0, 0), (0, c_pad - c)))
+        rhs_sm = jnp.pad(rhs_sm, ((0, 0), (0, c_pad - c), (0, 0)))
+    if w_pad != w:
+        rhs_sm = jnp.pad(rhs_sm, ((0, 0), (0, 0), (0, w_pad - w)))
+        c0_sm = jnp.pad(c0_sm, ((0, 0), (0, 0), (0, w_pad - w)))
+
+    # Output laid out (p, j, s1, w_pad) so the block's last two dims are
+    # the aligned (s1, w_pad); the caller-facing (p, s1, j, w) view is
+    # one cheap row-contiguous transpose away.
+    out = pl.pallas_call(
         functools.partial(
             _kernel, s1=s1, j=j, bands=bands_per_step
         ),
         grid=(p, nb),
         in_specs=[
             pl.BlockSpec(
-                (1, bands_per_step * s1, c),
+                (1, bands_per_step * s1, c_pad),
                 lambda pi, b: (pi, b, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, c, w), lambda pi, b: (pi, 0, 0), memory_space=pltpu.VMEM
+                (1, c_pad, w_pad),
+                lambda pi, b: (pi, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s1, w), lambda pi, b: (pi, 0, 0), memory_space=pltpu.VMEM
+                (1, s1, w_pad),
+                lambda pi, b: (pi, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, s1, bands_per_step, w),
-            lambda pi, b: (pi, 0, nb - 1 - b, 0),
+            (1, bands_per_step, s1, w_pad),
+            lambda pi, b: (pi, nb - 1 - b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((p, s1, j, w), dtype),
-        scratch_shapes=[pltpu.VMEM((s1, w), dtype)],
+        out_shape=jax.ShapeDtypeStruct((p, j, s1, w_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((s1, w_pad), dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * js1 * c * w,
-            bytes_accessed=(p * (js1 * c + c * w + s1 * w + s1 * j * w)) * 4,
+            flops=2 * p * js1 * c_pad * w_pad,
+            bytes_accessed=(
+                p * (js1 * c_pad + c_pad * w_pad + s1 * w_pad + s1 * j * w_pad)
+            )
+            * 4,
             transcendentals=0,
         ),
     )(lhs_t, rhs_sm, c0_sm)
+    return out[..., :w].transpose(0, 2, 1, 3)
