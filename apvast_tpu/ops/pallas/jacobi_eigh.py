@@ -201,22 +201,30 @@ def jacobi_eigh(
     if npad != n:
         # Pad slots are decoupled (zero off-diagonals preserved by every
         # rotation) and carry exact-zero eigenvalues; key them to +inf so
-        # the ascending sort keeps only real-slot eigenpairs up front.
+        # the ascending ranking keeps only real-slot eigenpairs up front.
         real = jnp.zeros((npad,), bool).at[:n].set(True)
         keyed = jnp.where(real[None, :], w, jnp.inf)
-        order = jnp.argsort(keyed, axis=-1)[:, :n]
     else:
-        order = jnp.argsort(w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)[:, :n]
-    # Column permutation as a one-hot matmul: the take_along_axis gather
-    # on (bz, n, n) lowers to per-column dynamic slices that stall the
-    # pipeline (measured as a ~170 us/hop async-copy bubble on the
-    # north-star trace); P is built with vector compares and the
-    # permutation rides the MXU.
+        keyed = w
+    # Sort-free ascending ranking: rank_i = #{j : w_j < w_i} plus a
+    # stable first-index tie-break — O(n^2) vector compares instead of
+    # jnp.argsort + take_along_axis, whose sort custom call and
+    # s32[bz, n] index copies measured ~170 us/hop of pipeline stall on
+    # the north-star trace. The permutation is applied as one-hot
+    # matmuls (vector compares + MXU), never a gather.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
+    tie = (keyed[:, None, :] == keyed[:, :, None]) & (idx.T < idx)[None]
+    rank = jnp.sum(
+        (keyed[:, None, :] < keyed[:, :, None]) | tie, axis=-1,
+        dtype=jnp.int32,
+    )  # (bz, npad): position of column i in the ascending order
     perm = (
-        jax.lax.broadcasted_iota(jnp.int32, (order.shape[0], npad, n), 1)
-        == order[:, None, :]
-    ).astype(v.dtype)
+        rank[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    ).astype(v.dtype)  # (bz, npad, n); pad ranks >= n drop out
+    # w (not keyed) has exact zeros at pad slots, so the one-hot
+    # contraction never multiplies inf by 0.
+    w = jnp.einsum("bi,bic->bc", w, perm)
     v = jnp.matmul(v, perm, precision=jax.lax.Precision.HIGHEST)[:, :n, :]
     return (
         w.reshape(batch_shape + (n,)),
