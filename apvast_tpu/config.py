@@ -489,7 +489,16 @@ def production_overrides(device: str = "tpu") -> dict:
         gevd_solver=GevdSolver.SUBSPACE,
         subspace_oversample=14,
         subspace_iters=2,
-        use_pallas_statistics=on_tpu,
+        # Statistics: skew-assembly lag engine (round 3) — the Toeplitz
+        # structure cuts the covariance FLOPs ~J-fold and the fused
+        # Pallas assembly removes the relayout passes. Measured
+        # (tools/r3_matrix.py, TPU): north-star 1.67 -> 1.39 ms/hop,
+        # 32-spk 5.52 -> 3.65 ms/hop vs the dense Pallas Gram kernel.
+        # The engine falls back to the dense kernel when the source
+        # count is not a multiple of 8 (Mosaic sublane alignment).
+        use_lag_statistics=on_tpu,
+        lag_assembly="skew",
+        use_pallas_statistics=on_tpu,  # fallback when skew can't lower
         use_pallas_output=on_tpu,
         use_pallas_conv=on_tpu,
         use_matmul_dft=on_tpu,

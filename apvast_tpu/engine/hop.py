@@ -360,8 +360,19 @@ def process_hop(
         buf_eff = wresp_stat
     k = buf_eff.shape[-1] - j + 1
     d = wtarget_stat[..., -k:]  # (2, m, k) target alignment
-    tap_major = config.use_lag_statistics and config.lag_assembly == "tap"
-    if config.use_lag_statistics:
+    use_lag = config.use_lag_statistics
+    if (
+        use_lag
+        and config.lag_assembly == "skew"
+        and s % 8
+        and jax.default_backend() != "cpu"
+    ):
+        # The skew-assembly kernel needs the source count to be a
+        # multiple of 8 (Mosaic block sublane alignment); fall back to
+        # the dense statistics path for other geometries.
+        use_lag = False
+    tap_major = use_lag and config.lag_assembly == "tap"
+    if use_lag:
         from apvast_tpu.ops.lag_statistics import (
             covariance_via_lags,
             covariance_via_lags_skew,
