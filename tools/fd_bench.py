@@ -62,20 +62,25 @@ def main():
             rng.standard_normal(m.config.hop * args.hops), jnp.float32
         )
 
-        def run(state):
-            st, outs = m._stream_fn(m.plan, state, sig_a, sig_b)
+        # Plan/state/signals must be jit ARGUMENTS: closing over them
+        # embeds the plan's complex spectra as MLIR constants, whose
+        # host fetch the axon tunnel rejects (complex transfers are
+        # UNIMPLEMENTED — the same reason build_plan computes them on
+        # device).
+        def run(plan, state, sa, sb):
+            st, outs = m._stream_fn(plan, state, sa, sb)
             return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
 
         runj = jax.jit(run)
         print(f"# COMPILE {label}", flush=True)
         t0 = time.time()
-        chk = float(runj(m.state))
+        chk = float(runj(m.plan, m.state, sig_a, sig_b))
         print(f"# COMPILED {time.time() - t0:.1f}s checksum finite: "
               f"{np.isfinite(chk)}", flush=True)
         best = 1e9
         for _ in range(args.reps):
             t0 = time.time()
-            float(runj(m.state))
+            float(runj(m.plan, m.state, sig_a, sig_b))
             best = min(best, time.time() - t0)
         ms = best / args.hops * 1000
         rtf = (m.config.hop / 48.0) / ms
