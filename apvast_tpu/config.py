@@ -259,6 +259,14 @@ class ApVastConfig:
     # float32 production only; requires subspace_whiten='invert',
     # subspace_orth='cholqr2' and subspace_rank % 8 == 0.
     use_pallas_subspace: bool = False
+    # Compute the 'invert' whitening setup (Cholesky + triangular
+    # inversion of the loaded dark matrices) as ONE fused Pallas kernel
+    # (ops/pallas/whiten.py) instead of XLA's panelized custom-call
+    # chain (~350 us/hop of dispatch latency on the north-star trace).
+    # float32 production only; requires subspace_whiten='invert' and
+    # jl <= 1024 (the kernel is VMEM-resident) — the engine falls back
+    # to the XLA chain outside those bounds.
+    use_pallas_whiten: bool = False
     # Use the fused Pallas framing+covariance kernel for the statistics
     # (float32 only; frames never materialized, cross-correlation vector
     # via FFT). Falls back to interpret mode off-TPU.
@@ -503,5 +511,15 @@ def production_overrides(device: str = "tpu") -> dict:
         use_pallas_conv=on_tpu,
         use_matmul_dft=on_tpu,
         small_eigh="jacobi" if on_tpu else "lapack",
-        jacobi_sweeps=3,
+        # 2 sweeps hold the 0.25 dB gate with the warm-started
+        # near-diagonal Rayleigh-Ritz matrix (tools/solver_knobs.py:
+        # delta1 0.0011 / deltaV 0.0725, ~165 us/hop cheaper than 3).
+        jacobi_sweeps=2,
+        # use_pallas_whiten stays False: the fused Cholesky+inverse
+        # kernel (ops/pallas/whiten.py) measured 1.78 vs 1.55 ms/hop
+        # against the XLA custom-call chain (tools/whiten_gate.py) —
+        # its sequential rank-1 column steps under fori_loop cost more
+        # than the dispatch chain they replace. Kept for runtimes with
+        # higher per-dispatch overhead; revisit with an unrolled
+        # 32-blocked factorization.
     )

@@ -496,6 +496,18 @@ def process_hop(
                 "kernels — they would silently degrade a float64 parity "
                 "config to float32 precision"
             )
+        if config.use_pallas_whiten and dtype != jnp.float32:
+            raise ValueError(
+                "use_pallas_whiten is a float32 kernel — it would "
+                "silently degrade a float64 parity config"
+            )
+        # The fused whitening-setup kernel is VMEM-resident; scenes past
+        # jl = 1024 (after 128-padding) fall back to the XLA chain.
+        whiten_kernel = (
+            config.use_pallas_whiten
+            and config.subspace_whiten == "invert"
+            and -(-config.jl // 128) * 128 <= 1024
+        )
         # Warm-started blocked subspace iteration for the top eigenpairs
         # (ops/jdiag.jdiag_topk) — MXU matmuls instead of a dense eigh.
         u, lam, gevd_q, silenced = jdiag_topk_batched(
@@ -511,6 +523,7 @@ def process_hop(
             config.jacobi_sweeps,
             interpret=(jax.default_backend() == "cpu"),
             fused_iteration=config.use_pallas_subspace,
+            whiten_kernel=whiten_kernel,
         )  # (2, jl, v), (2, v), (2, jl, k), int32
     else:
         u, lam = jdiag_batched(a_stack, b_stack, reg)  # (2, jl, jl), (2, jl)

@@ -90,16 +90,29 @@ def _topk_project(
     q_init: jax.Array,
     orth: str,
     whiten: str,
+    li_pre: jax.Array | None = None,
 ):
     """Subspace-iteration front half of :func:`jdiag_topk`: whitening
     setup, the iteration itself, and the small Rayleigh-Ritz projection.
     Returns ``(small, q, wmat)`` where ``wmat`` is the whitening matrix
     needed by the back-transform (``L^{-1}`` for the 'invert' path, the
-    Cholesky factor for 'solve')."""
+    Cholesky factor for 'solve'). ``li_pre`` short-circuits the 'invert'
+    whitening setup with a precomputed inverse Cholesky factor (the
+    fused Pallas kernel, ops/pallas/whiten.py)."""
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
 
-    if whiten == "invert":
+    if whiten == "invert" and li_pre is not None:
+        li = li_pre
+        hi = jax.lax.Precision.HIGH
+
+        def apply_white(x):
+            y = jnp.matmul(li.T, x, precision=hi)
+            y = jnp.matmul(A, y, precision=hi)
+            return jnp.matmul(li, y, precision=hi)
+
+        wmat = li
+    elif whiten == "invert":
         # Matmul-only path: invert L once by blocked recursion
         # (ops/trisolve.py) — every whitened-operator application and the
         # back-transform are MXU matmuls, no latency-bound full-matrix
@@ -238,6 +251,7 @@ def jdiag_topk_batched(
     jacobi_sweeps: int = 4,
     interpret: bool = False,
     fused_iteration: bool = False,
+    whiten_kernel: bool = False,
 ):
     """Batched :func:`jdiag_topk` over a leading pencil axis.
 
@@ -254,7 +268,21 @@ def jdiag_topk_batched(
 
     Returns ``(u, d, q, silenced)``; ``silenced`` is the total count of
     non-finite solver outputs zeroed by the guards (0 = healthy).
+
+    ``whiten_kernel`` computes the 'invert' whitening setup (Cholesky +
+    triangular inversion of the loaded dark matrices) as ONE fused
+    Pallas kernel (ops/pallas/whiten.py) instead of XLA's panelized
+    custom-call chain — float32 only, n <= 1024 after 128-padding.
     """
+    li_pre = None
+    if whiten_kernel and whiten == "invert":
+        from apvast_tpu.ops.pallas.whiten import chol_tri_inverse_pallas
+
+        n = A.shape[-1]
+        eye = jnp.eye(n, dtype=A.dtype)
+        li_pre = chol_tri_inverse_pallas(
+            B + reg * eye, interpret=interpret
+        )
     if fused_iteration:
         if whiten != "invert" or orth != "cholqr2":
             raise ValueError(
@@ -263,17 +291,24 @@ def jdiag_topk_batched(
         from apvast_tpu.ops.pallas.subspace import subspace_iterate_pallas
         from apvast_tpu.ops.trisolve import triangular_inverse
 
-        n = A.shape[-1]
-        eye = jnp.eye(n, dtype=A.dtype)
-        chol = jnp.linalg.cholesky(B + reg * eye)
-        wmat = triangular_inverse(chol)
+        if li_pre is not None:
+            wmat = li_pre
+        else:
+            n = A.shape[-1]
+            eye = jnp.eye(n, dtype=A.dtype)
+            chol = jnp.linalg.cholesky(B + reg * eye)
+            wmat = triangular_inverse(chol)
         q, small = subspace_iterate_pallas(
             A, wmat, q_init, iters, interpret=interpret
         )
     else:
         small, q, wmat = jax.vmap(
-            _topk_project, in_axes=(0, 0, None, None, 0, None, None)
-        )(A, B, reg, iters, q_init, orth, whiten)
+            _topk_project,
+            in_axes=(
+                0, 0, None, None, 0, None, None,
+                0 if li_pre is not None else None,
+            ),
+        )(A, B, reg, iters, q_init, orth, whiten, li_pre)
     if small_eigh == "jacobi":
         from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh
 
