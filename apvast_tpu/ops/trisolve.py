@@ -104,28 +104,31 @@ def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
         )
 
     # Assemble block-diagonal inverse, then merge pairwise upward.
-    idx = jnp.arange(num_blocks)
-    x = jnp.zeros((num_blocks, b, num_blocks, b), chol.dtype)
-    x = x.at[idx, :, idx, :].set(inv_diag)
-    x = x.reshape(n, n)
+    x = jnp.zeros_like(chol)
+    for i in range(num_blocks):
+        sl = slice(i * b, (i + 1) * b)
+        x = x.at[sl, sl].set(inv_diag[i])
 
     size = b
     while size < n:
         # Merge adjacent (size x size) inverses: for each pair p at rows
         # [2p*size : (2p+2)*size], X21 = -X22 L21 X11. All pairs of a
-        # level are independent, so the level runs as ONE batched matmul
-        # pair over a (pairs, size, size) gather instead of a chain of
-        # per-pair ops — on TPU the per-pair chain is pure dispatch
-        # latency (each 2x(size,size) matmul is microseconds of MXU
-        # work); the gather/scatter is a block-diagonal advanced index
-        # that XLA lowers without materializing the zero blocks.
+        # level are independent, so the level's matmuls run BATCHED over
+        # a stack of static slices instead of a chain of per-pair
+        # matmuls — on TPU the per-pair chain is pure dispatch latency
+        # (each 2x(size,size) matmul is microseconds of MXU work).
+        # Stacked static slices (concat) rather than a block-diagonal
+        # advanced index: the paired-index gather form SIGABRTs XLA's
+        # CPU compiler inside the 8-device sharded dryrun
+        # (__graft_entry__.dryrun_multichip, reproduced 3x).
         num_pairs = n // (2 * size)
-        pidx = jnp.arange(num_pairs)
-        xv = x.reshape(num_pairs, 2, size, num_pairs, 2, size)
-        cv = chol.reshape(num_pairs, 2, size, num_pairs, 2, size)
-        x11 = xv[pidx, 0, :, pidx, 0, :]
-        x22 = xv[pidx, 1, :, pidx, 1, :]
-        l21 = cv[pidx, 1, :, pidx, 0, :]
+        spans = [
+            (2 * p * size, (2 * p + 1) * size, (2 * p + 2) * size)
+            for p in range(num_pairs)
+        ]
+        x11 = jnp.stack([x[r0:r1, r0:r1] for r0, r1, _ in spans])
+        x22 = jnp.stack([x[r1:r2, r1:r2] for _, r1, r2 in spans])
+        l21 = jnp.stack([chol[r1:r2, r0:r1] for r0, r1, r2 in spans])
         # HIGH precision: a bf16 single-pass product here would cap
         # the whole inverse (hence the whitened operator and the
         # back-transform) at ~1e-2 relative accuracy.
@@ -134,6 +137,7 @@ def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
             jnp.matmul(l21, x11, precision=jax.lax.Precision.HIGH),
             precision=jax.lax.Precision.HIGH,
         )
-        x = xv.at[pidx, 1, :, pidx, 0, :].set(x21).reshape(n, n)
+        for p, (r0, r1, r2) in enumerate(spans):
+            x = x.at[r1:r2, r0:r1].set(x21[p])
         size *= 2
     return x
