@@ -276,13 +276,19 @@ def jdiag_topk_batched(
     """
     li_pre = None
     if whiten_kernel and whiten == "invert":
-        from apvast_tpu.ops.pallas.whiten import chol_tri_inverse_pallas
+        # Hybrid whitening setup: Pallas panel factorizations (replacing
+        # XLA's ~28 us/panel factor custom calls) + XLA trailing updates
+        # + the batched-level triangular inversion. The FULLY fused
+        # kernel (chol_tri_inverse_pallas) measured 1188 us vs the XLA
+        # chain's 660 us standalone — its misaligned sub-tile traffic
+        # cost more than the dispatches it removed.
+        from apvast_tpu.ops.pallas.whiten import blocked_cholesky
+        from apvast_tpu.ops.trisolve import triangular_inverse
 
         n = A.shape[-1]
         eye = jnp.eye(n, dtype=A.dtype)
-        li_pre = chol_tri_inverse_pallas(
-            B + reg * eye, interpret=interpret
-        )
+        chol = blocked_cholesky(B + reg * eye, interpret=interpret)
+        li_pre = triangular_inverse(chol)
     if fused_iteration:
         if whiten != "invert" or orth != "cholqr2":
             raise ValueError(

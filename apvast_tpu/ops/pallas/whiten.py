@@ -76,28 +76,32 @@ def _dot_nt(x, y, precision=_HI):
     )
 
 
-def _chol_tile(g):
-    """Cholesky of one (PANEL, PANEL) SPD tile by masked rank-1 column
-    steps under a fori_loop (dynamic column masks keep the Mosaic
-    program small; the unrolled variant in ops/pallas/subspace._chol_2d
-    is only practical at subspace width)."""
-    n = _PANEL
+def _dot_t(x, y, precision=_HI):
+    """x^T y on 2D operands."""
+    return jax.lax.dot_general(
+        x, y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _chol_sub(g):
+    """Cholesky of one (SUB, SUB) SPD tile by statically-UNROLLED masked
+    rank-1 column steps (ops/pallas/subspace._chol_2d at SUB width).
+    Unrolling matters: static column indices make the diagonal pivot a
+    scalar extract instead of a masked full-tile reduction — the
+    fori_loop variant of this kernel measured ~230 us/hop slower
+    in-engine than the XLA chain it replaces, almost entirely these
+    reductions."""
+    n = _SUB
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-
-    def body(c, carry):
-        g, l = carry
-        diag = jnp.sum(jnp.where((rows == c) & (cols == c), g, 0.0))
-        isr = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    l = jnp.zeros((n, n), jnp.float32)
+    for c in range(n):
+        isr = jax.lax.rsqrt(jnp.maximum(g[c, c], 1e-30))
         col = jnp.where((cols == c) & (rows >= c), g * isr, 0.0)
         l = l + col
         colv = jnp.sum(col, axis=1, keepdims=True)  # (n, 1)
         g = g - colv * jnp.swapaxes(colv, 0, 1)
-        return g, l
-
-    _, l = jax.lax.fori_loop(
-        0, n, body, (g, jnp.zeros((n, n), jnp.float32))
-    )
     return l
 
 
@@ -123,56 +127,240 @@ def _neumann_inv_sub(l):
     return x
 
 
-def _tri_inv_panel(lp):
-    """(PANEL, PANEL) lower-triangular inverse: SUB-wide diagonal blocks
-    by Neumann doubling, merged pairwise as a functional concat tree
-    (ops/trisolve.triangular_inverse restated without update-slices,
-    which Mosaic does not lower on values)."""
+def _merge_tri(x11, x22, l21):
+    """Merge two adjacent triangular inverses: X21 = -X22 L21 X11
+    (ops/trisolve.triangular_inverse's recursion as a functional concat
+    tree — Mosaic does not lower update-slices on values)."""
+    s = x11.shape[0]
+    x21 = -_dot(x22, _dot(l21, x11))
+    top = jnp.concatenate([x11, jnp.zeros((s, s), jnp.float32)], axis=1)
+    bot = jnp.concatenate([x21, x22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
-    def merge(x11, x22, l21):
-        s = x11.shape[0]
-        x21 = -_dot(x22, _dot(l21, x11))
-        top = jnp.concatenate([x11, jnp.zeros((s, s), jnp.float32)], axis=1)
-        bot = jnp.concatenate([x21, x22], axis=1)
-        return jnp.concatenate([top, bot], axis=0)
 
-    def inv(r0, size):
-        if size == _SUB:
-            return _neumann_inv_sub(lp[r0:r0 + _SUB, r0:r0 + _SUB])
-        half = size // 2
-        x11 = inv(r0, half)
-        x22 = inv(r0 + half, half)
-        l21 = lp[r0 + half:r0 + size, r0:r0 + half]
-        return merge(x11, x22, l21)
+def _panel_kernel(d_ref, lp_ref, inv_ref, *, bz):
+    """Factorize a batch of (PANEL, PANEL) SPD diagonal blocks and
+    invert the factors, all in VMEM: SUB-blocked unrolled rank-1 steps +
+    Neumann sub-inverses + concat merge trees.
 
-    return inv(0, _PANEL)
+    Sub-blocks are extracted and placed with constant one-hot selector
+    matmuls instead of lane-offset slices: Mosaic refuses to concatenate
+    vectors whose non-concat-dimension offsets differ ("result/input
+    offset mismatch"), and offset-32/64/96 slices force relayouts even
+    where they compile. A matmul against a one-hot block always produces
+    an offset-0 value, and the extra MXU work is noise at these sizes.
+    """
+    ns_ = _PANEL // _SUB
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (_PANEL, 1), 0)
+    rp = jax.lax.broadcasted_iota(jnp.int32, (_PANEL, _SUB), 0)
+    cp = jax.lax.broadcasted_iota(jnp.int32, (_PANEL, _SUB), 1)
+    # E[s]: (PANEL, SUB) one-hot placing/extracting sub-block s.
+    sel = [
+        (rp == cp + s * _SUB).astype(jnp.float32) for s in range(ns_)
+    ]
+    for b in range(bz):
+        d = d_ref[b]
+        sub_invs = []
+        cols = []  # full-height (PANEL, SUB) L column blocks
+        for s in range(ns_):
+            g1 = (s + 1) * _SUB
+            e = sel[s]
+            dcol = _dot(d, e)  # (PANEL, SUB) columns g0:g1, offset-0
+            dd = _dot_t(e, dcol)  # (SUB, SUB) diagonal block
+            ls = _chol_sub(dd)
+            inv_s = _neumann_inv_sub(ls)
+            sub_invs.append(inv_s)
+            below = jnp.where(rows1 >= g1, dcol, 0.0)  # rows past block
+            l21 = _dot_nt(below, inv_s)
+            l21 = l21 + _dot_nt(below - _dot_nt(l21, ls), inv_s)
+            colblk = l21 + _dot(e, ls)  # ls placed at rows g0:g1
+            cols.append(colblk)
+            if g1 < _PANEL:
+                # Trailing update. Using the full column block instead
+                # of its below-diagonal part also touches the
+                # already-factorized rows/columns < g1 — which are never
+                # read again (each later sub-block reads only its own
+                # columns), so the extra terms are harmless and the
+                # update needs no slicing.
+                d = d - _dot_nt(colblk, colblk)
+        lp = sum(_dot_nt(c, e) for c, e in zip(cols, sel))
+        lp_ref[b] = lp
+
+        def sub(i, j):  # L sub-block (i, j) via selector extraction
+            return _dot_t(sel[i], _dot(lp, sel[j]))
+
+        x01 = _merge_tri(sub_invs[0], sub_invs[1], sub(1, 0))
+        x23 = _merge_tri(sub_invs[2], sub_invs[3], sub(3, 2))
+        l21_big = jnp.concatenate(
+            [
+                jnp.concatenate([sub(2, 0), sub(2, 1)], axis=1),
+                jnp.concatenate([sub(3, 0), sub(3, 1)], axis=1),
+            ],
+            axis=0,
+        )
+        inv_ref[b] = _merge_tri(x01, x23, l21_big)
+
+
+def chol_panel_pallas(
+    d: jax.Array, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Cholesky factors AND their inverses for a (bz, PANEL, PANEL) SPD
+    batch, one fused kernel (the panel step of blocked_cholesky)."""
+    bz = d.shape[0]
+    if d.shape[-2:] != (_PANEL, _PANEL):
+        raise ValueError(f"panel kernel is fixed at {_PANEL}")
+    kernel = functools.partial(_panel_kernel, bz=bz)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bz, _PANEL, _PANEL), jnp.float32),
+            jax.ShapeDtypeStruct((bz, _PANEL, _PANEL), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=bz * 2 * _PANEL ** 3,
+            bytes_accessed=bz * 3 * _PANEL * _PANEL * 4,
+            transcendentals=bz * _PANEL,
+        ),
+    )(d.astype(jnp.float32))
+
+
+def blocked_cholesky(
+    b: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Blocked Cholesky with Pallas panel factorization + XLA trailing
+    updates.
+
+    XLA's TPU cholesky custom call spends ~28 us of dispatch latency per
+    128-wide panel factorization on the axon runtime (~170 us/hop at
+    JL = 800) while the actual panel work is microseconds; the trailing
+    updates are ordinary MXU matmuls that XLA already pipelines well.
+    This splits the difference: ONE fused Pallas kernel per diagonal
+    panel (factor + inverse), explicit-inverse panel solves with an
+    iterative-refinement step (same math as the fused whiten kernel,
+    residuals at or below the custom-call chain's level), and the
+    FLOP-carrying trailing updates left to XLA.
+
+    Args:
+        b: (bz, n, n) float32 SPD batch (loading applied).
+
+    Returns:
+        (bz, n, n) lower-triangular Cholesky factors, same contract as
+        ``jnp.linalg.cholesky``.
+    """
+    bz, n, _ = b.shape
+    if b.dtype != jnp.float32:
+        raise ValueError("blocked_cholesky is a float32 path")
+    npad = -(-n // _PANEL) * _PANEL
+    if npad != n:
+        pad = npad - n
+        eye_pad = jnp.broadcast_to(
+            jnp.eye(pad, dtype=b.dtype), (bz, pad, pad)
+        )
+        b = jnp.concatenate(
+            [
+                jnp.concatenate([b, jnp.zeros((bz, n, pad), b.dtype)], 2),
+                jnp.concatenate([jnp.zeros((bz, pad, n), b.dtype), eye_pad], 2),
+            ],
+            axis=1,
+        )
+    np_ = npad // _PANEL
+    hi_p = jax.lax.Precision.HIGH
+    col_blocks = []
+    trail = b  # (bz, m, m) remaining trailing matrix, m = npad - p*PANEL
+    for p in range(np_):
+        m = npad - p * _PANEL
+        d = trail[:, :_PANEL, :_PANEL]
+        lp, lpinv = chol_panel_pallas(d, interpret=interpret)
+        if m > _PANEL:
+            a21 = trail[:, _PANEL:, :_PANEL]  # (bz, m-PANEL, PANEL)
+            l21 = jnp.einsum(
+                "bij,bkj->bik", a21, lpinv, precision=hi_p
+            )
+            l21 = l21 + jnp.einsum(
+                "bij,bkj->bik",
+                a21 - jnp.einsum("bij,bkj->bik", l21, lp, precision=hi_p),
+                lpinv,
+                precision=hi_p,
+            )
+            trail = trail[:, _PANEL:, _PANEL:] - jnp.einsum(
+                "bij,bkj->bik", l21, l21, precision=hi_p
+            )
+            block = jnp.concatenate([lp, l21], axis=1)  # (bz, m, PANEL)
+        else:
+            block = lp
+        col_blocks.append(
+            jnp.concatenate(
+                [jnp.zeros((bz, p * _PANEL, _PANEL), jnp.float32), block],
+                axis=1,
+            )
+        )
+    out = jnp.concatenate(col_blocks, axis=2)
+    if npad != n:
+        out = out[:, :n, :n]
+    return out
 
 
 def _kernel(b_ref, li_ref, a_scr, *, npad):
     np_ = npad // _PANEL
+    ns_ = _PANEL // _SUB
     a_scr[...] = b_ref[0]
     li_ref[0] = jnp.zeros((npad, npad), jnp.float32)
 
     # ---- blocked Cholesky: L lands in the OUTPUT block (li_ref) ----
+    # Two-level blocking: SUB-wide sub-panels carry the sequential
+    # rank-1 steps (statically unrolled on (SUB, SUB) tiles), the
+    # PANEL level carries the MXU-heavy trailing updates on
+    # lane-aligned 128-wide strips.
     panel_inv = []
     for p in range(np_):
         lo, hi = p * _PANEL, (p + 1) * _PANEL
-        lp = _chol_tile(a_scr[lo:hi, lo:hi])
-        lpinv = _tri_inv_panel(lp)
+        sub_invs = []
+        for s in range(ns_):
+            g0, g1 = lo + s * _SUB, lo + (s + 1) * _SUB
+            ls = _chol_sub(a_scr[g0:g1, g0:g1])
+            inv_s = _neumann_inv_sub(ls)
+            sub_invs.append(inv_s)
+            li_ref[0, g0:g1, g0:g1] = ls
+            if g1 < npad:
+                a21 = a_scr[g1:npad, g0:g1]  # (m, SUB)
+                l21 = _dot_nt(a21, inv_s)
+                # One iterative-refinement step of the sub-panel solve
+                # L21 Ls^T = A21: the explicit-inverse multiply alone
+                # loses ~cond(Ls) * eps, which compounds through the
+                # trailing updates (measured 2e0 vs 8e-4 whitening
+                # residual on a cond ~1e7 scene without this step).
+                l21 = l21 + _dot_nt(a21 - _dot_nt(l21, ls), inv_s)
+                li_ref[0, g1:npad, g0:g1] = l21
+                if g1 < hi:
+                    # In-panel trailing update (columns g1..hi only;
+                    # the PANEL-level strips below cover the rest).
+                    a_scr[g1:npad, g1:hi] = a_scr[g1:npad, g1:hi] - _dot_nt(
+                        l21, l21[: hi - g1, :]
+                    )
+        # PANEL-level inverse from the SUB inverses (concat merge tree).
+        x01 = _merge_tri(
+            sub_invs[0], sub_invs[1],
+            li_ref[0, lo + _SUB:lo + 2 * _SUB, lo:lo + _SUB],
+        )
+        x23 = _merge_tri(
+            sub_invs[2], sub_invs[3],
+            li_ref[0, lo + 3 * _SUB:hi, lo + 2 * _SUB:lo + 3 * _SUB],
+        )
+        lpinv = _merge_tri(
+            x01, x23, li_ref[0, lo + 2 * _SUB:hi, lo:lo + 2 * _SUB]
+        )
         panel_inv.append(lpinv)
-        li_ref[0, lo:hi, lo:hi] = lp
         if p + 1 < np_:
-            a21 = a_scr[hi:npad, lo:hi]
-            l21 = _dot_nt(a21, lpinv)  # (m, PANEL)
-            # One iterative-refinement step of the panel solve
-            # L21 Lp^T = A21: the explicit-inverse multiply alone loses
-            # ~cond(Lp) * eps, which compounds through the trailing
-            # updates (measured 2e0 vs 8e-4 whitening residual on a
-            # cond ~1e7 scene without this step).
-            l21 = l21 + _dot_nt(a21 - _dot_nt(l21, lp), lpinv)
-            li_ref[0, hi:npad, lo:hi] = l21
-            # Trailing update, block-lower-triangle only, in 128-row
-            # strips (bounds every intermediate at (PANEL, m)).
+            # Trailing update for columns past this panel,
+            # block-lower-triangle only, in 128-row strips (bounds every
+            # intermediate at (PANEL, m) and keeps lanes 128-aligned).
+            l21 = li_ref[0, hi:npad, lo:hi]  # (m, PANEL), just written
             for q in range(p + 1, np_):
                 qlo, qhi = q * _PANEL, (q + 1) * _PANEL
                 strip = l21[qlo - hi:qhi - hi, :]

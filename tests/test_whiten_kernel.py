@@ -112,3 +112,22 @@ def test_vmem_bound_rejected():
         chol_tri_inverse_pallas(
             jnp.eye(1280, dtype=jnp.float32)[None], interpret=True
         )
+
+
+def test_blocked_cholesky_matches_xla():
+    """Hybrid path: Pallas panel factorization + XLA trailing updates
+    must reproduce jnp.linalg.cholesky to float32 working accuracy,
+    including through the 128-padding path."""
+    from apvast_tpu.ops.pallas.whiten import blocked_cholesky
+
+    rng = np.random.default_rng(5)
+    for n, boost in ((256, 0.0), (256, 1e5), (200, 0.0)):
+        b = _spd(rng, 2, n, boost=boost)
+        ref = jnp.linalg.cholesky(b)
+        out = blocked_cholesky(b, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 5e-5
+        res = out @ out.transpose(0, 2, 1) - b
+        assert (
+            float(jnp.max(jnp.abs(res))) / float(jnp.max(jnp.abs(b))) < 1e-5
+        )
