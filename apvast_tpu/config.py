@@ -515,11 +515,14 @@ def production_overrides(device: str = "tpu") -> dict:
         # near-diagonal Rayleigh-Ritz matrix (tools/solver_knobs.py:
         # delta1 0.0011 / deltaV 0.0725, ~165 us/hop cheaper than 3).
         jacobi_sweeps=2,
-        # use_pallas_whiten stays False: the fused Cholesky+inverse
-        # kernel (ops/pallas/whiten.py) measured 1.78 vs 1.55 ms/hop
-        # against the XLA custom-call chain (tools/whiten_gate.py) —
-        # its sequential rank-1 column steps under fori_loop cost more
-        # than the dispatch chain they replace. Kept for runtimes with
-        # higher per-dispatch overhead; revisit with an unrolled
-        # 32-blocked factorization.
+        # use_pallas_whiten stays False: two generations of the kernel
+        # lost to the XLA custom-call chain in-engine on the north-star
+        # scene (tools/whiten_gate.py). Fully fused fori_loop kernel:
+        # 1.78 vs 1.55 ms/hop (sequential masked rank-1 reductions).
+        # Hybrid unrolled-32-blocked Pallas panels + XLA trailing
+        # updates: 1.914 vs 1.341 ms/hop (per-panel dispatch chain +
+        # 128-padded concat assembly outweigh the removed factor-call
+        # latency; XLA's batched chain overlaps across the two
+        # pencils). Kept for runtimes with higher per-dispatch
+        # overhead.
     )

@@ -281,7 +281,15 @@ def jdiag_topk_batched(
         # + the batched-level triangular inversion. The FULLY fused
         # kernel (chol_tri_inverse_pallas) measured 1188 us vs the XLA
         # chain's 660 us standalone — its misaligned sub-tile traffic
-        # cost more than the dispatches it removed.
+        # cost more than the dispatches it removed. The hybrid also
+        # loses IN-ENGINE on the north-star scene (1.914 vs
+        # 1.341 ms/hop, tools/whiten_gate.py 2026-08-18): the 7
+        # sequential per-panel pallas_calls + the 896-padded concat
+        # assembly of the factor outweigh the panel-factor dispatch
+        # latency they remove, while XLA's batched custom-call chain
+        # overlaps across the two pencils. Production keeps
+        # use_pallas_whiten=False; this path remains for runtimes with
+        # higher per-dispatch cost.
         from apvast_tpu.ops.pallas.whiten import blocked_cholesky
         from apvast_tpu.ops.trisolve import triangular_inverse
 
