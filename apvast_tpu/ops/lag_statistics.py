@@ -116,6 +116,17 @@ def _compute_c0(buf: jax.Array, j: int, c0_method: str) -> jax.Array:
 
         return lag_corr_pallas(buf, j, interpret=(jax.default_backend() == "cpu"))
     if c0_method == "conv":
+        if jax.default_backend() == "tpu":
+            # The grouped-conv lowering is numerically WRONG on the TPU
+            # runtime (measured 2026-08-18: 0.39 max rel error vs a
+            # float64 oracle on north-star shapes, while the Pallas
+            # kernel lands at 1.2e-4 = bf16 MXU rounding). Refuse
+            # rather than return silently-garbage statistics; "auto"
+            # never selects conv on TPU.
+            raise ValueError(
+                "c0_method='conv' mis-lowers on TPU (0.39 rel err vs "
+                "oracle); use 'pallas' (production) or 'matmul'"
+            )
         return _c0_conv(buf, k)
     if c0_method == "matmul":
         return _c0_matmul(buf, k)
@@ -407,7 +418,11 @@ def covariance_via_lags_skew(
         lhs_t, rhs_sm, c0_sm, j, interpret=interpret
     ).reshape(p4, s * j, s * j)
     # Symmetric completion: the kernel writes valid values at t2 <= t1
-    # (within every source block); R = R^T fills the rest.
+    # (within every source block); R = R^T fills the rest. The flat
+    # (SJ, SJ) mask select is the fast form: re-expressing it as a
+    # broadcast (J, J) mask on the (S, J, S, J) view to avoid the big
+    # boolean constant measured 4-10x SLOWER (S=32: 955 vs 91 us) —
+    # the 5-D transpose it needs lowers far worse than the mask DMA.
     taps = jnp.arange(s * j) % j
     mask = taps[:, None] >= taps[None, :]
     r_mats = jnp.where(mask, low, jnp.swapaxes(low, -1, -2))

@@ -97,6 +97,32 @@ def triangular_inverse(chol: jax.Array, num_blocks: int = 16) -> jax.Array:
     diag_ii = jnp.einsum("ixiy->ixy", blocks)  # (nb, b, b)
     if b <= 50:
         inv_diag = neumann_tri_inverse(diag_ii)
+    elif b % 2 == 0 and b <= 100:
+        # One batched split-merge keeps 50 < b <= 100 on the
+        # matmul-only path: halve every diagonal block, Neumann-invert
+        # the 2*nb halves in ONE batch, merge with one batched matmul
+        # pair. Going to 2x num_blocks instead would add a whole merge
+        # level of small strided big-matrix slices (measured: 32-spk
+        # engine 3.6 -> 4.2 ms/hop); the substitution fallback's
+        # broadcast-identity RHS streams ~260 us/hop of (b, b) copies
+        # on the same trace. This branch avoids both.
+        h = b // 2
+        nb = diag_ii.shape[0]
+        halves = jnp.concatenate(
+            [diag_ii[:, :h, :h], diag_ii[:, h:, h:]], axis=0
+        )
+        inv_h = neumann_tri_inverse(halves)
+        x11, x22 = inv_h[:nb], inv_h[nb:]
+        l21 = diag_ii[:, h:, :h]
+        x21 = -jnp.matmul(
+            x22, jnp.matmul(l21, x11, precision=_HI), precision=_HI
+        )
+        top = jnp.concatenate(
+            [x11, jnp.zeros((nb, h, h), chol.dtype)], axis=2
+        )
+        inv_diag = jnp.concatenate(
+            [top, jnp.concatenate([x21, x22], axis=2)], axis=1
+        )
     else:
         eye_b = jnp.eye(b, dtype=chol.dtype)
         inv_diag = solve_triangular(

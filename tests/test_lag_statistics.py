@@ -226,3 +226,39 @@ def test_covariance_pallas_c0_end_to_end_interpret():
     np.testing.assert_allclose(
         np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-5
     )
+
+
+def test_pallas_c0_bf16_stack_interpret():
+    """The bf16 shift-stack variant (the TPU default; bit-identical on
+    the MXU, where f32 matmuls round operands to bf16 anyway) stays
+    within bf16 working accuracy in interpret mode, where the matmul
+    genuinely computes at bf16 input precision."""
+    from apvast_tpu.ops.lag_statistics import _c0_conv
+    from apvast_tpu.ops.pallas.lag_corr import lag_corr_pallas
+
+    rng = np.random.default_rng(15)
+    buf = jnp.asarray(
+        rng.standard_normal((4, 3, 4, 60)), dtype=jnp.float32
+    )
+    j = 9
+    k = 60 - j + 1
+    want = np.asarray(_c0_conv(buf, k))
+    got = np.asarray(
+        lag_corr_pallas(buf, j, interpret=True, stack_dtype=jnp.bfloat16)
+    )
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 3e-2
+
+
+def test_c0_conv_rejected_on_tpu_backend(monkeypatch):
+    """c0_method='conv' must refuse on a TPU backend: the grouped-conv
+    lowering mis-computes there (0.39 rel err vs oracle, measured)."""
+    from apvast_tpu.ops import lag_statistics
+
+    rng = np.random.default_rng(16)
+    buf = jnp.asarray(rng.standard_normal((4, 2, 3, 50)), jnp.float32)
+    monkeypatch.setattr(
+        lag_statistics.jax, "default_backend", lambda: "tpu"
+    )
+    with pytest.raises(ValueError, match="mis-lowers on TPU"):
+        lag_statistics._compute_c0(buf, 8, "conv")

@@ -36,15 +36,16 @@ from apvast_tpu.engine import build_plan  # noqa: E402
 from apvast_tpu.utils.scenes import scale_scene  # noqa: E402
 
 
+# NOTE: production defaults now INCLUDE the skew lag statistics, so the
+# dense candidate must disable them explicitly — a bare {} candidate
+# silently measured skew three times over after the default switch.
 CANDIDATES = {
-    "pallas+invert": {},
-    "skew+invert": dict(
+    "production(skew)": {},
+    "pallas+invert": dict(use_lag_statistics=False),
+    "lagwide+invert": dict(
         use_lag_statistics=True,
         use_pallas_statistics=False,
-        lag_assembly="skew",
-    ),
-    "lagwide+invert": dict(
-        use_lag_statistics=True, use_pallas_statistics=False
+        lag_assembly="wide",
     ),
 }
 
