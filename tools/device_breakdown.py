@@ -58,22 +58,61 @@ def main():
     from apvast_tpu.engine import build_plan, init_state, run_stream
     from apvast_tpu.utils.scenes import scale_scene
 
-    overrides = production_overrides()
-    if "lag" in mode:
-        overrides.update(use_lag_statistics=True, use_pallas_statistics=False)
-    if "conv" in mode:
-        overrides.update(weighting_conv_taps=257)
-    scene = scale_scene(nsrc, **overrides)
-    cfg = scene.config
-    plan = build_plan(cfg, scene.rir_a, scene.rir_b)
-    state = init_state(cfg, key=jax.random.key(0))
-    rng = np.random.default_rng(0)
-    sig_a = jnp.asarray(rng.standard_normal(cfg.hop * nh), dtype=jnp.float32)
-    sig_b = jnp.asarray(rng.standard_normal(cfg.hop * nh), dtype=jnp.float32)
+    if mode.startswith("fd"):
+        # Frequency-domain engine on the bundled scene (the fd_bench.py
+        # configurations): mode "fd" = independent design, "fdcoupled" =
+        # the pinned C=7/B=2 leakage-aware operating point.
+        from apvast_tpu import ApVastFD
+        from apvast_tpu.utils import load_reference_rirs
 
-    def run(st):
-        st, outs = run_stream(cfg, plan, st, sig_a, sig_b)
-        return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+        rir_a, rir_b = load_reference_rirs()
+        kw = (
+            dict(fd_bin_coupling=7, fd_frame_taps=2)
+            if "coupled" in mode
+            else {}
+        )
+        m = ApVastFD(
+            block_size=1600, rir_a=rir_a, rir_b=rir_b, filter_length=100,
+            modeling_delay=20, reference_index_a=7, reference_index_b=7,
+            number_of_eigenvectors=8, mu=1.0, dtype="float32",
+            sampling_rate=48000, perceptual=True, key=jax.random.key(0),
+            forgetting=0.97, **kw,
+        )
+        cfg, plan, state = m.config, m.plan, m.state
+        rng = np.random.default_rng(0)
+        sig_a = jnp.asarray(
+            rng.standard_normal(cfg.hop * nh), dtype=jnp.float32
+        )
+        sig_b = jnp.asarray(
+            rng.standard_normal(cfg.hop * nh), dtype=jnp.float32
+        )
+
+        def run(st):
+            st, outs = m._stream_fn(plan, st, sig_a, sig_b)
+            return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+    else:
+        overrides = production_overrides()
+        if "lag" in mode:
+            overrides.update(
+                use_lag_statistics=True, use_pallas_statistics=False
+            )
+        if "conv" in mode:
+            overrides.update(weighting_conv_taps=257)
+        scene = scale_scene(nsrc, **overrides)
+        cfg = scene.config
+        plan = build_plan(cfg, scene.rir_a, scene.rir_b)
+        state = init_state(cfg, key=jax.random.key(0))
+        rng = np.random.default_rng(0)
+        sig_a = jnp.asarray(
+            rng.standard_normal(cfg.hop * nh), dtype=jnp.float32
+        )
+        sig_b = jnp.asarray(
+            rng.standard_normal(cfg.hop * nh), dtype=jnp.float32
+        )
+
+        def run(st):
+            st, outs = run_stream(cfg, plan, st, sig_a, sig_b)
+            return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
 
     runj = jax.jit(run)
     float(runj(state))  # compile + warm
