@@ -244,7 +244,20 @@ class ApVastConfig:
     # on recorded north-star pencils and rejected: rank-1 filter error
     # 0.05-0.14 vs 1e-4 for per-hop factorization (sample-noise B
     # fluctuations rotate the iteration operator's invariant subspace).
+    # "tracking" (round 4): no per-hop (JL, JL) factorization at all —
+    # a carried inverse Cholesky factor acts as a PRECONDITIONER for
+    # LOBPCG-style Rayleigh-Ritz tracking on the exact pencil
+    # (ops/jdiag.jdiag_topk_tracked), refreshed every
+    # tracking_rebuild_period hops plus a tracking_warmup_hops window of
+    # per-hop rebuilds while the statistics buffer turns over its noise
+    # init. Unlike 'newton' (whose stale operator rotates the iteration's
+    # invariant subspace — see below), staleness here only slows the
+    # tracking rate: the extraction is an exact-pencil Rayleigh-Ritz.
     subspace_whiten: str = "invert"
+    # Tracking-whitening knobs (subspace_whiten="tracking").
+    tracking_outer_steps: int = 2
+    tracking_rebuild_period: int = 4
+    tracking_warmup_hops: int = 4
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
     # Pallas cyclic-Jacobi kernel, float32 production — the custom call
@@ -320,6 +333,18 @@ class ApVastConfig:
     # approximation of the truncation-coupled quadratic, at UNCHANGED
     # S x S solver cost. Odd; 1 = classic per-bin design.
     fd_bin_coupling: int = 1
+    # Frequency-domain engine only: per-bin Hermitian eigensolver.
+    # "lapack" = XLA's batched complex eigh custom call — measured
+    # ~2.7 ms/hop of the FD hop's ~3.2 ms at (1602, 8, 8) bins on the
+    # TPU trace (QR-iteration while loops + sort); "jacobi" = one real
+    # Pallas cyclic-Jacobi kernel over the symmetric 2S x 2S embedding
+    # of every bin's whitened pencil (ops/pallas/jacobi_eigh.
+    # jacobi_eigh_hermitian). float32 production only.
+    fd_eigh: str = "lapack"
+    # Jacobi sweep count for fd_eigh="jacobi". The FD pencils are
+    # whitened fresh each hop (no warm start), so this is a cold-start
+    # count: quality-gated at 6 on the bundled scene.
+    fd_jacobi_sweeps: int = 6
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).
@@ -375,6 +400,17 @@ class ApVastConfig:
                 raise ValueError(
                     "weighting_conv_taps must be odd and in (0, block_size)"
                 )
+        if self.subspace_whiten not in (
+            "solve", "invert", "newton", "tracking"
+        ):
+            raise ValueError(
+                "subspace_whiten must be one of 'solve', 'invert', "
+                "'newton', 'tracking'"
+            )
+        if self.tracking_rebuild_period < 1:
+            raise ValueError("tracking_rebuild_period must be >= 1")
+        if self.tracking_outer_steps < 1:
+            raise ValueError("tracking_outer_steps must be >= 1")
         if self.lag_assembly not in ("wide", "pair", "tap", "skew"):
             # Otherwise a typo surfaces as a bare KeyError inside the
             # jitted hop's assembly dispatch (engine/hop.py).
@@ -497,6 +533,22 @@ def production_overrides(device: str = "tpu") -> dict:
         gevd_solver=GevdSolver.SUBSPACE,
         subspace_oversample=14,
         subspace_iters=2,
+        # Whitening: TRACKING (round 4) — no per-hop (JL, JL) Cholesky/
+        # triangular inversion; a carried inverse factor preconditions
+        # LOBPCG-style exact-pencil Rayleigh-Ritz tracking, rebuilt every
+        # 8 hops (+6 warmup hops). Measured on TPU (tools/tracking_gate.py,
+        # 32-spk 16-hop contrast vs exact dense eigh): tracking s1
+        # -0.15 dB / s2 +0.02 dB where the round-3 'invert' production
+        # solver reads -4.6 dB on the same horizon (its cold-start power
+        # iteration converges far slower than exact Rayleigh-Ritz);
+        # engine hop 3.49 -> 2.75 ms at 32 speakers. Under a vmapped
+        # multi-scene batch the rebuild cond becomes a select (both
+        # branches execute) — multi-stream serving keeps 'invert'
+        # (tools/multi_stream.py, bench streams8).
+        subspace_whiten="tracking" if on_tpu else "invert",
+        tracking_outer_steps=1,
+        tracking_rebuild_period=8,
+        tracking_warmup_hops=6,
         # Statistics: skew-assembly lag engine (round 3) — the Toeplitz
         # structure cuts the covariance FLOPs ~J-fold and the fused
         # Pallas assembly removes the relayout passes. Measured

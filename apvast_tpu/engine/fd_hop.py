@@ -274,7 +274,19 @@ def process_hop_fd(
         reg_vec = jnp.full((2 * bins,), reg)
     eye = jnp.eye(sb, dtype=b_stack.dtype)
     b_loaded = b_stack + reg_vec[:, None, None] * eye
-    u, lam = jdiag_hermitian_batched(a_stack, b_loaded, 0.0)
+    if config.fd_eigh == "jacobi" and dtype != jnp.float32:
+        raise ValueError(
+            "fd_eigh='jacobi' is a float32 kernel — it would silently "
+            "degrade a float64 config"
+        )
+    u, lam = jdiag_hermitian_batched(
+        a_stack,
+        b_loaded,
+        0.0,
+        eigh_impl=config.fd_eigh,
+        jacobi_sweeps=config.fd_jacobi_sweeps,
+        interpret=(jax.default_backend() == "cpu"),
+    )
     u = u.reshape(2, bins, sb, sb)
     lam = lam.reshape(2, bins, sb)
 

@@ -460,7 +460,43 @@ def process_hop(
 
     gevd_q = state.gevd_q
     gevd_minv = state.gevd_minv
+    gevd_lam = state.gevd_lam
+    gevd_hop = state.gevd_hop
     if config.gevd_solver is GevdSolver.SUBSPACE and (
+        config.subspace_whiten == "tracking"
+    ):
+        if dtype != jnp.float32 and config.small_eigh == "jacobi":
+            raise ValueError(
+                "small_eigh='jacobi' is a float32 kernel — it would "
+                "silently degrade a float64 parity config"
+            )
+        if config.use_pallas_subspace or config.use_pallas_whiten:
+            raise ValueError(
+                "use_pallas_subspace/use_pallas_whiten require "
+                "subspace_whiten='invert'"
+            )
+        from apvast_tpu.ops.jdiag import jdiag_topk_tracked
+
+        rebuild = jnp.logical_or(
+            gevd_hop < config.tracking_warmup_hops,
+            gevd_hop % config.tracking_rebuild_period == 0,
+        )
+        u, lam, gevd_q, gevd_lam, gevd_minv, silenced = jdiag_topk_tracked(
+            a_stack,
+            b_stack,
+            reg,
+            v,
+            state.gevd_q,
+            state.gevd_lam,
+            state.gevd_minv,
+            rebuild,
+            config.tracking_outer_steps,
+            config.small_eigh,
+            config.jacobi_sweeps,
+            interpret=(jax.default_backend() == "cpu"),
+        )
+        gevd_hop = gevd_hop + 1
+    elif config.gevd_solver is GevdSolver.SUBSPACE and (
         config.subspace_whiten == "newton"
     ):
         if config.use_pallas_subspace:
@@ -626,6 +662,8 @@ def process_hop(
         target_out_overlap=target_out_overlap,
         gevd_q=gevd_q,
         gevd_minv=gevd_minv,
+        gevd_lam=gevd_lam,
+        gevd_hop=gevd_hop,
     )
     outputs = HopOutputs(
         out_a=out_vhs[0] if config.run_a else None,

@@ -70,8 +70,13 @@ class ApVastState:
     gevd_q: jax.Array | None = None
     # Carried approximate inverse of the loaded dark matrix, (2, jl, jl)
     # — the Newton-Schulz whitening state (subspace_whiten='newton',
-    # ops/jdiag.jdiag_topk_pencil_batched). None for other modes.
+    # ops/jdiag.jdiag_topk_pencil_batched), or the carried inverse
+    # Cholesky factor under subspace_whiten='tracking'. None otherwise.
     gevd_minv: jax.Array | None = None
+    # Carried Ritz values (2, subspace_rank) and the hop counter driving
+    # the preconditioner rebuild cadence — tracking whitening only.
+    gevd_lam: jax.Array | None = None
+    gevd_hop: jax.Array | None = None
 
 
 def init_state(
@@ -118,6 +123,8 @@ def init_state(
 
     gevd_q = None
     gevd_minv = None
+    gevd_lam = None
+    gevd_hop = None
     if config.gevd_solver is GevdSolver.SUBSPACE:
         # Deterministic full-rank cold-start subspace; the per-hop QR
         # iterations orthonormalize and converge it during stream warmup.
@@ -131,6 +138,15 @@ def init_state(
             gevd_minv = jnp.broadcast_to(
                 jnp.eye(config.jl, dtype=dtype), (2, config.jl, config.jl)
             )
+        elif config.subspace_whiten == "tracking":
+            # Identity placeholder factor — hop 0 is inside the warmup
+            # window, so the first hop always rebuilds from a real
+            # factorization before the carry is ever used.
+            gevd_minv = jnp.broadcast_to(
+                jnp.eye(config.jl, dtype=dtype), (2, config.jl, config.jl)
+            )
+            gevd_lam = jnp.zeros((2, config.subspace_rank), dtype=dtype)
+            gevd_hop = jnp.zeros((), dtype=jnp.int32)
 
     return ApVastState(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
@@ -148,4 +164,6 @@ def init_state(
         target_out_overlap=jnp.zeros((2, s, block - config.hop), dtype=dtype),
         gevd_q=gevd_q,
         gevd_minv=gevd_minv,
+        gevd_lam=gevd_lam,
+        gevd_hop=gevd_hop,
     )

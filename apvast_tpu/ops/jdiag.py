@@ -466,6 +466,160 @@ def jdiag_topk_pencil_batched(
     return u, d_desc, ritz, m, silenced
 
 
+def jdiag_topk_tracked(
+    A: jax.Array,
+    B: jax.Array,
+    reg: float | jax.Array,
+    num_vectors: int,
+    q_init: jax.Array,
+    lam_init: jax.Array,
+    li_carry: jax.Array,
+    rebuild: jax.Array,
+    outer_steps: int = 2,
+    small_eigh: str = "lapack",
+    jacobi_sweeps: int = 4,
+    interpret: bool = False,
+):
+    """Top-k GEVD by inner-outer subspace TRACKING — no per-hop (n, n)
+    factorization.
+
+    The production 'invert' whitening re-factorizes the loaded dark
+    matrix every hop: XLA's blocked Cholesky (~840 us at n = 1600,
+    tools/solver_lab.py) + the blocked triangular inversion and their
+    mask/relayout HBM traffic — the largest block of device time in the
+    32-speaker hop. This solver instead:
+
+      1. CARRIES the inverse Cholesky factor Li across hops and
+         refreshes it only when ``rebuild`` is set (every T hops plus a
+         short warmup window — engine/hop.py) — staleness makes it a
+         PRECONDITIONER, never a correctness input;
+      2. each outer step expands the carried Ritz basis X (n, k) with
+         the preconditioned block residual M r = Li^T Li (A X - B X L)
+         (LOBPCG-style: Rayleigh-Ritz on the EXACT pencil converges to
+         the true generalized eigenspace for any full-rank M — unlike
+         the rejected stale-operator power iteration, see the
+         subspace_whiten='newton' note in config.py);
+      3. solves the doubled (2k) Rayleigh-Ritz pencil INEXACTLY with the
+         same warm-started trick one level down: whiten the (2k, 2k)
+         pencil by its own small Cholesky (trivial FLOPs), two power
+         steps of a k-block seeded from the X coordinates, then one
+         k-wide eigensolve — the only non-matmul op per step is the
+         existing k x k Jacobi/eigh (XLA's exact 128-wide eigh measures
+         ~900 us; this path keeps the 64-wide ~120 us budget).
+
+    Offline validation on captured 32-speaker pencils
+    (tools/tracking_lab.py): 2 outer steps + rebuild every 4 hops +
+    4-hop warmup tracks the exact solver's span-filter contrast to
+    production-solver accuracy from hop 0 (PERF.md round-4 table).
+
+    Args:
+        q_init: (z, n, k) carried Ritz vectors (B-orthonormal columns,
+            descending; any full-rank block cold).
+        lam_init: (z, k) carried Ritz values (zeros cold).
+        li_carry: (z, n, n) carried inverse Cholesky factor (identity
+            cold — ``rebuild`` must be True on the first hop).
+        rebuild: bool scalar — refresh Li from a fresh factorization.
+
+    Returns ``(u, d, q_next, lam_next, li_next, silenced)`` with
+    ``U^T (B + reg I) U = I`` and d descending, matching
+    :func:`jdiag_topk_batched`'s extraction contract.
+    """
+    from apvast_tpu.ops.trisolve import triangular_inverse
+
+    z, n, _ = A.shape
+    k = q_init.shape[-1]
+    dtype = A.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    b_l = B + reg * eye
+    hi = jax.lax.Precision.HIGH
+    hst = jax.lax.Precision.HIGHEST
+
+    li = jax.lax.cond(
+        rebuild,
+        lambda _: triangular_inverse(jnp.linalg.cholesky(b_l)),
+        lambda _: li_carry,
+        None,
+    )
+
+    def small_solve(h):
+        """Eigendecomposition of the (z, k, k) symmetric RR matrix."""
+        if small_eigh == "jacobi":
+            from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh
+
+            return jacobi_eigh(h, sweeps=jacobi_sweeps, interpret=interpret)
+        return jnp.linalg.eigh(h)
+
+    q, lam = q_init, lam_init
+    for _ in range(outer_steps):
+        aq = jnp.matmul(A, q, precision=hi)
+        bq = jnp.matmul(b_l, q, precision=hi)
+        res = aq - bq * lam[:, None, :]
+        p = jnp.matmul(
+            li.swapaxes(-1, -2), jnp.matmul(li, res, precision=hi),
+            precision=hi,
+        )
+        s = jax.vmap(_cholqr2)(jnp.concatenate([q, p], axis=-1))
+        # Exact-pencil Rayleigh-Ritz matrices on the doubled basis.
+        a_s = jnp.matmul(A, s, precision=hi)
+        b_s = jnp.matmul(b_l, s, precision=hi)
+        st = s.swapaxes(-1, -2)
+        abar = jnp.matmul(st, a_s, precision=hst)
+        bbar = jnp.matmul(st, b_s, precision=hst)
+        abar = 0.5 * (abar + abar.swapaxes(-1, -2))
+        bbar = 0.5 * (bbar + bbar.swapaxes(-1, -2))
+        kk = bbar.shape[-1]
+        eyek = jnp.eye(kk, dtype=dtype)
+        tr = jnp.einsum("zii->z", bbar) / kk
+        # Trace-relative, DTYPE-SCALED jitter (same rationale as
+        # jdiag_topk_pencil_batched): a fixed 1e-6 would bias float64
+        # eigenvalues at the ~1e-4 relative level (measured in
+        # tests/test_tracking_solver.py).
+        jit_rel = 8.0 * float(jnp.finfo(dtype).eps)
+        bbar = bbar + (jit_rel * tr)[:, None, None] * eyek
+        lbar = jnp.linalg.cholesky(bbar)  # (z, 2k, 2k) — trivial FLOPs
+        libar = triangular_inverse(lbar)
+        wbar = jnp.matmul(
+            jnp.matmul(libar, abar, precision=hst),
+            libar.swapaxes(-1, -2),
+            precision=hst,
+        )
+        wbar = 0.5 * (wbar + wbar.swapaxes(-1, -2))
+        # Inner inexact solve: k-block power steps seeded from the X
+        # coordinates (the previous Ritz vectors span basis slots :k).
+        y = jax.vmap(_cholqr2)(lbar.swapaxes(-1, -2)[:, :, :k])
+        for _pi in range(2):
+            y = jax.vmap(_cholqr2)(jnp.matmul(wbar, y, precision=hst))
+        h = jnp.matmul(
+            y.swapaxes(-1, -2), jnp.matmul(wbar, y, precision=hst),
+            precision=hst,
+        )
+        h = 0.5 * (h + h.swapaxes(-1, -2))
+        d, v = small_solve(h)  # ascending
+        c = jnp.matmul(
+            libar.swapaxes(-1, -2),
+            jnp.matmul(y, v[..., ::-1], precision=hst),
+            precision=hst,
+        )  # (z, 2k, k) pencil coordinates, descending, c^T bbar c = I
+        q = jnp.matmul(s, c, precision=hst)  # B-orthonormal Ritz vectors
+        lam = d[..., ::-1]
+
+    u = q[..., :num_vectors]
+    dd = lam[..., :num_vectors]
+    bad_u = ~jnp.isfinite(u)
+    bad_d = ~jnp.isfinite(dd)
+    silenced = jnp.sum(bad_u, dtype=jnp.int32) + jnp.sum(
+        bad_d, dtype=jnp.int32
+    )
+    u = jnp.where(bad_u, 0, u)
+    dd = jnp.where(bad_d, 0, dd)
+    # Non-finite carries self-heal: fall back to the incoming values so
+    # one degenerate hop cannot poison the tracker permanently.
+    q = jnp.where(jnp.isfinite(q), q, q_init)
+    lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
+    li = jnp.where(jnp.isfinite(li), li, li_carry)
+    return u, dd, q, lam, li, silenced
+
+
 def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
     """Joint diagonalization of a complex Hermitian-PSD pencil.
 
@@ -485,5 +639,43 @@ def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):
     return u[:, ::-1], d[::-1]
 
 
-# Batched over (zones x bins) — the FD engine's workhorse.
-jdiag_hermitian_batched = jax.vmap(jdiag_hermitian, in_axes=(0, 0, None))
+def jdiag_hermitian_batched(
+    A: jax.Array,
+    B: jax.Array,
+    reg: float | jax.Array = 1e-7,
+    eigh_impl: str = "lapack",
+    jacobi_sweeps: int = 8,
+    interpret: bool = False,
+):
+    """Batched :func:`jdiag_hermitian` over a leading pencil axis — the
+    FD engine's workhorse (zones x bins pencils).
+
+    ``eigh_impl`` selects the Hermitian eigensolver for the whitened
+    matrices: "lapack" is XLA's complex eigh custom call — measured
+    ~2.7 ms/hop at (1602, 8, 8) on the FD trace, almost the entire FD
+    hop budget — and "jacobi" routes the WHOLE batch through one real
+    Pallas cyclic-Jacobi kernel via the symmetric embedding
+    (ops/pallas/jacobi_eigh.jacobi_eigh_hermitian).
+    """
+    if eigh_impl == "lapack":
+        return jax.vmap(jdiag_hermitian, in_axes=(0, 0, None))(A, B, reg)
+
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def _whiten(a, b):
+        chol = jnp.linalg.cholesky(b + reg * eye)
+        half = solve_triangular(chol, a, lower=True)
+        white = solve_triangular(chol, half.conj().T, lower=True).conj().T
+        return 0.5 * (white + white.conj().T), chol
+
+    white, chol = jax.vmap(_whiten)(A, B)
+    from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh_hermitian
+
+    d, v = jacobi_eigh_hermitian(
+        white, sweeps=jacobi_sweeps, interpret=interpret
+    )  # ascending
+    u = jax.vmap(
+        lambda c, vv: solve_triangular(c.conj().T, vv, lower=False)
+    )(chol, v)
+    return u[..., ::-1], d[..., ::-1]

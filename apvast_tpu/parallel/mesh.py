@@ -48,6 +48,8 @@ _STATE_MIC_DIM = {
     "target_out_overlap": None,
     "gevd_q": None,
     "gevd_minv": None,
+    "gevd_lam": None,
+    "gevd_hop": None,
 }
 _PLAN_MIC_DIM = {
     "window": None,

@@ -443,9 +443,15 @@ def measure_streams8() -> int:
         reference_index_a=7, reference_index_b=7, num_eigenvectors=50,
         mu=1.0, statistics_buffer_length=1000, sampling_rate=48000,
         perceptual=True,
-        # Blocked conv kernel off under vmap (per-stream row-block
-        # shapes don't batch) — same deviation as tools/multi_stream.py.
-        **{**_production_overrides("tpu"), "use_pallas_conv": False},
+        **{
+            **_production_overrides("tpu"),
+            # Blocked conv kernel off under vmap (per-stream row-block
+            # shapes don't batch); tracking whitening off because the
+            # rebuild cond becomes a select under vmap (both branches
+            # execute every hop) — same deviations as tools/multi_stream.py.
+            "use_pallas_conv": False,
+            "subspace_whiten": "invert",
+        },
     )
     _mark("COMPILE plans")
     pairs = [(rir_a, rir_b)]

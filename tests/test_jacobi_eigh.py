@@ -261,3 +261,54 @@ def test_engine_fused_subspace_matches(small_scene):
         outs[fused] = np.stack(acc)
     scale = np.max(np.abs(outs[False])) + 1e-12
     assert np.max(np.abs(outs[False] - outs[True])) / scale < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# Complex Hermitian path (symmetric embedding) — the FD engine's per-bin
+# eigensolver (ops/pallas/jacobi_eigh.jacobi_eigh_hermitian).
+# ---------------------------------------------------------------------------
+
+
+def _herm(rng, bz, n, m=12):
+    h = rng.standard_normal((bz, m, n)) + 1j * rng.standard_normal((bz, m, n))
+    return np.einsum("bms,bmt->bst", h.conj(), h).astype(np.complex64)
+
+
+def test_jacobi_hermitian_matches_lapack(rng):
+    from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh_hermitian
+
+    a = _herm(rng, 9, 8)
+    w, v = jax.jit(
+        lambda x: jacobi_eigh_hermitian(x, sweeps=8, interpret=True)
+    )(a)
+    w, v = np.asarray(w), np.asarray(v)
+    wn = np.linalg.eigvalsh(a)
+    np.testing.assert_allclose(w, wn, rtol=2e-5, atol=2e-4 * np.abs(wn).max())
+    # Residual + column orthonormality (phase-free checks: eigenvectors
+    # are defined up to a complex phase).
+    res = np.einsum("bij,bjk->bik", a, v) - v * w[:, None, :]
+    assert np.max(np.abs(res)) < 5e-5 * np.max(np.abs(a))
+    g = np.einsum("bij,bik->bjk", v.conj(), v)
+    np.testing.assert_allclose(g, np.broadcast_to(np.eye(8), g.shape), atol=1e-4)
+
+
+def test_jdiag_hermitian_batched_jacobi_contract(rng):
+    """eigh_impl='jacobi' keeps the GEVD contract U^H B_reg U = I and
+    matches the LAPACK path's eigenvalues."""
+    from apvast_tpu.ops.jdiag import jdiag_hermitian_batched
+
+    a = _herm(rng, 7, 8)
+    b = _herm(rng, 7, 8) + (0.1 * np.eye(8)).astype(np.complex64)
+    u1, d1 = jdiag_hermitian_batched(jnp.asarray(a), jnp.asarray(b), 0.0)
+    u2, d2 = jdiag_hermitian_batched(
+        jnp.asarray(a), jnp.asarray(b), 0.0,
+        eigh_impl="jacobi", jacobi_sweeps=10, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d1), rtol=5e-4,
+        atol=1e-4 * float(np.abs(np.asarray(d1)).max()),
+    )
+    g = np.einsum(
+        "bji,bjk,bkl->bil", np.asarray(u2).conj(), b, np.asarray(u2)
+    )
+    np.testing.assert_allclose(g, np.broadcast_to(np.eye(8), g.shape), atol=5e-4)

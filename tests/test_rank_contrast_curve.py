@@ -76,9 +76,21 @@ def test_north_star_contrast_vs_rank_curve_pinned():
     exact_cfg = dataclasses.replace(base, gevd_solver=GevdSolver.EIGH)
     exact = _contrast_curve(exact_cfg, plan, scene.rir_a, scene.rir_b, ranks)
     prod = _contrast_curve(base, plan, scene.rir_a, scene.rir_b, ranks)
+    # The TPU production whitening (round 4): tracking with the same
+    # cadence production_overrides("tpu") ships (small_eigh stays LAPACK
+    # here — the Jacobi kernel is interpret-only off-TPU).
+    trk_cfg = dataclasses.replace(
+        base,
+        subspace_whiten="tracking",
+        tracking_outer_steps=1,
+        tracking_rebuild_period=8,
+        tracking_warmup_hops=6,
+    )
+    trk = _contrast_curve(trk_cfg, plan, scene.rir_a, scene.rir_b, ranks)
 
     for r in ranks:
         assert abs(prod[r] - exact[r]) < GATE_DB, (r, prod, exact)
+        assert abs(trk[r] - exact[r]) < GATE_DB, (r, trk, exact)
         assert abs(exact[r] - PINNED_EXACT[r]) < ANCHOR_DB, (r, exact)
     # The trade-off shape itself: rank 1 is the contrast end and the
     # curve decreases toward the full span (monotone within tolerance).

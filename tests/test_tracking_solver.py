@@ -1,0 +1,145 @@
+"""Tracking GEVD solver (ops/jdiag.jdiag_topk_tracked): invariants on
+synthetic pencils and end-to-end engine equivalence with the exact EIGH
+path. The solver's purpose is the TPU-scale hop (no per-hop (JL, JL)
+factorization — see PERF.md round-4); these tests pin its CONTRACT:
+exact-pencil Rayleigh-Ritz extraction with U^T B U = I, tracking under a
+stale preconditioner, and engine-level contrast parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apvast_tpu.config import GevdSolver
+from apvast_tpu.engine import build_plan, init_state, process_hop
+from apvast_tpu.evaluation import acoustic_contrast_db, predict_pressure
+from apvast_tpu.ops.jdiag import jdiag, jdiag_topk_tracked
+
+
+def _pencil(rng, n, extra=8):
+    xa = rng.standard_normal((n, n + extra))
+    xb = rng.standard_normal((n, n + extra))
+    return xa @ xa.T, xb @ xb.T
+
+
+def test_tracked_converges_to_dense(rng):
+    """Repeated tracked calls on one fixed pencil (fresh preconditioner)
+    converge to the dense solver's top eigenpairs, and the extraction
+    satisfies U^T (B + reg I) U = I."""
+    n, k, top, reg = 60, 24, 12, 1e-7
+    a_np, b_np = _pencil(rng, n)
+    a = jnp.asarray(np.stack([a_np, a_np]))
+    b = jnp.asarray(np.stack([b_np, b_np]))
+    q = jnp.asarray(rng.standard_normal((2, n, k)))
+    lam = jnp.zeros((2, k))
+    li = jnp.broadcast_to(jnp.eye(n), (2, n, n))
+    rebuild = jnp.asarray(True)
+    for _ in range(8):
+        u, d, q, lam, li, sil = jdiag_topk_tracked(
+            a, b, reg, top, q, lam, li, rebuild, outer_steps=1
+        )
+    assert int(sil) == 0
+    u_ref, d_ref = jdiag(jnp.asarray(a_np), jnp.asarray(b_np), reg)
+    # The tracker is an INEXACT iterative solver (one expansion step per
+    # call); 8 calls on a fixed pencil land well below engine tolerances.
+    np.testing.assert_allclose(
+        np.asarray(d[0]), np.asarray(d_ref)[:top], rtol=1e-5
+    )
+    # Extraction contract (jdiag.m:33-35): U^T B_loaded U = I.
+    bl = b_np + reg * np.eye(n)
+    g = np.asarray(u[0]).T @ bl @ np.asarray(u[0])
+    # The inner small-pencil jitter perturbs the B-normalization by
+    # O(jitter * kappa(bbar)); 1e-5 is far below engine tolerances.
+    np.testing.assert_allclose(g, np.eye(top), atol=1e-5)
+
+
+def test_tracked_stale_preconditioner_tracks(rng):
+    """A sequence of rotating pencils with the preconditioner frozen
+    after hop 0: the exact-pencil Rayleigh-Ritz keeps the Ritz values
+    converging to each hop's TRUE eigenvalues (the property the
+    rejected stale-operator power iteration lacks — config.py's
+    subspace_whiten='newton' note)."""
+    n, k, top = 48, 20, 8
+    a_np, b_np = _pencil(rng, n)
+    q = jnp.asarray(rng.standard_normal((2, n, k)))
+    lam = jnp.zeros((2, k))
+    li = jnp.broadcast_to(jnp.eye(n), (2, n, n))
+    for t in range(8):
+        # Slowly rotating bright matrix, drifting dark matrix.
+        da, db = _pencil(rng, n)
+        a_np = 0.9 * a_np + 0.1 * da
+        b_np = 0.9 * b_np + 0.1 * db
+        a = jnp.asarray(np.stack([a_np, a_np]))
+        b = jnp.asarray(np.stack([b_np, b_np]))
+        u, d, q, lam, li, sil = jdiag_topk_tracked(
+            a, b, 1e-7, top, q, lam, li,
+            jnp.asarray(t == 0), outer_steps=2,
+        )
+    assert int(sil) == 0
+    _, d_ref = jdiag(jnp.asarray(a_np), jnp.asarray(b_np), 1e-7)
+    # Tracking accuracy bound, not exactness: the preconditioner is 8
+    # hops stale and the pencil rotates 10% per hop.
+    np.testing.assert_allclose(
+        np.asarray(d[0]), np.asarray(d_ref)[:top], rtol=1e-3
+    )
+
+
+def _contrast_after(cfg, rir_a, rir_b, hops=10):
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    rng = np.random.default_rng(4)
+    outs = []
+    silenced = 0
+    for _ in range(hops):
+        state, out = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop)),
+            jnp.asarray(rng.standard_normal(cfg.hop)),
+        )
+        silenced += int(out.silenced)
+        outs.append(np.asarray(out.out_a))
+    feeds = np.concatenate([o[0] for o in outs[5:]], axis=0)  # rank-1
+    return float(
+        acoustic_contrast_db(
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(rir_a)),
+            predict_pressure(jnp.asarray(feeds), jnp.asarray(rir_b)),
+        )
+    ), silenced
+
+
+def test_engine_tracking_matches_eigh(small_scene):
+    cfg, rir_a, rir_b = small_scene
+    exact, _ = _contrast_after(cfg, rir_a, rir_b)
+    trk_cfg = dataclasses.replace(
+        cfg,
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking",
+        tracking_warmup_hops=4,
+    )
+    approx, silenced = _contrast_after(trk_cfg, rir_a, rir_b)
+    assert silenced == 0
+    assert abs(exact - approx) < 0.3, f"contrast {exact:.2f} vs {approx:.2f} dB"
+
+
+def test_tracking_state_roundtrip(small_scene):
+    """Tracking state fields (q, lam, li, hop counter) live in the state
+    pytree — checkpoint/resume must preserve the carry bit-exactly."""
+    cfg, rir_a, rir_b = small_scene
+    cfg = dataclasses.replace(
+        cfg, gevd_solver=GevdSolver.SUBSPACE, subspace_whiten="tracking"
+    )
+    plan = build_plan(cfg, rir_a, rir_b)
+    state = init_state(cfg, key=jax.random.key(0))
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        state, _ = fn(
+            state,
+            jnp.asarray(rng.standard_normal(cfg.hop)),
+            jnp.asarray(rng.standard_normal(cfg.hop)),
+        )
+    assert int(state.gevd_hop) == 3
+    leaves = jax.tree.leaves(state)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)

@@ -87,9 +87,19 @@ def main():
             rng.standard_normal(cfg.hop * nh), dtype=jnp.float32
         )
 
-        def run(st):
-            st, outs = m._stream_fn(plan, st, sig_a, sig_b)
-            return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
+        # Plan/state/signals as jit ARGUMENTS (closing over the plan
+        # embeds complex spectra constants the tunnel cannot fetch —
+        # same workaround as bench.measure_fd).
+        fd_j = jax.jit(
+            lambda st, p, sa, sb: jnp.sum(
+                jnp.abs(m._stream_fn(p, st, sa, sb)[1].out_a).astype(
+                    jnp.float32
+                )
+            )
+        )
+
+        def run_compiled(st):
+            return fd_j(st, plan, sig_a, sig_b)
     else:
         overrides = production_overrides()
         if "lag" in mode:
@@ -114,16 +124,17 @@ def main():
             st, outs = run_stream(cfg, plan, st, sig_a, sig_b)
             return jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
 
-    runj = jax.jit(run)
-    float(runj(state))  # compile + warm
+        run_compiled = jax.jit(run)
+
+    float(run_compiled(state))  # compile + warm
     t0 = time.time()
-    float(runj(state))
+    float(run_compiled(state))
     wall = (time.time() - t0) / nh * 1000
     print(f"wall: {wall:.3f} ms/hop over {nh} hops", flush=True)
 
     logdir = tempfile.mkdtemp(prefix="apvast_prof_")
     jax.profiler.start_trace(logdir)
-    float(runj(state))
+    float(run_compiled(state))
     jax.profiler.stop_trace()
 
     paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)

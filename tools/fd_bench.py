@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--hops", type=int, default=128)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--eigh", default="lapack", choices=["lapack", "jacobi"])
     args = ap.parse_args()
 
     import jax
@@ -53,7 +54,7 @@ def main():
             modeling_delay=20, reference_index_a=7, reference_index_b=7,
             number_of_eigenvectors=8, mu=1.0, dtype="float32",
             sampling_rate=48000, perceptual=True, key=jax.random.key(0),
-            forgetting=0.97, **kw,
+            forgetting=0.97, fd_eigh=args.eigh, **kw,
         )
         sig_a = jnp.asarray(
             rng.standard_normal(m.config.hop * args.hops), jnp.float32

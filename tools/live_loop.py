@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Live-loop deployment drive: native rings x north-star engine x TPU.
+
+Closes VERDICT r3 weak #5: the C++ ring/framer runtime
+(native/apvast_rt.cpp + runtime/stream_host.py) had only ever met a toy
+engine on CPU; the sustained throughput number (hops batched 512/
+dispatch) says nothing about the one-hop-in, one-hop-out product loop.
+This tool runs the REAL north-star engine (16 loudspeakers, 48 kHz,
+perceptual ON, production solver) hop by hop through StreamHost on the
+live TPU:
+
+  phase 1 (throughput): saturating feed; live_loop_rtf = processed hop
+    rate / the 60 hops-per-second real-time rate. This is the per-hop
+    dispatch number the deployment actually gets through the rings.
+  phase 2 (paced): hops arrive at real-time cadence for ``hops`` hops;
+    a compliant engine shows zero dropped chunk pairs and zero output
+    ring overruns (xruns).
+
+Prints one JSON line; bench.py's "live" child wraps this measurement.
+
+Usage: live_loop.py [hops]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from apvast_tpu import ApVast  # noqa: E402
+from apvast_tpu.config import production_overrides  # noqa: E402
+from apvast_tpu.runtime.stream_host import StreamHost  # noqa: E402
+from apvast_tpu.utils.rir import correlated_rirs  # noqa: E402
+
+HOP_SECONDS = 800 / 48000.0
+
+
+def build_model():
+    # The north-star scene geometry (utils/scenes.scale_scene(16)).
+    rir_a = 1e-3 * correlated_rirs(2400, 16, 17, seed=101)
+    rir_b = 1e-3 * correlated_rirs(2400, 16, 17, seed=202)
+    return ApVast(
+        block_size=1600, rir_a=rir_a, rir_b=rir_b, filter_length=50,
+        modeling_delay=24, reference_index_a=0, reference_index_b=0,
+        number_of_eigenvectors=50, mu=1.0, statistics_buffer_length=1000,
+        sampling_rate=48000, perceptual=True, key=jax.random.key(0),
+        **production_overrides("tpu"),
+    )
+
+
+def main():
+    hops = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    model = build_model()
+    hop = model.config.hop
+    rng = np.random.default_rng(0)
+
+    # Warm the compiled hop (compile + first dispatch are not the loop).
+    out = model.process_input_buffers(
+        rng.standard_normal(hop).astype(np.float32),
+        rng.standard_normal(hop).astype(np.float32),
+    )
+    np.asarray(out[0])
+
+    # ---- phase 1: saturating feed — engine-bound hop rate -------------
+    host = StreamHost(model, span_index=-1, backlog_hops=8)
+    n1 = min(hops, 300)
+    t0 = time.time()
+    done = 0
+    while done < n1:
+        host.push_input(
+            rng.standard_normal(hop).astype(np.float32),
+            rng.standard_normal(hop).astype(np.float32),
+        )
+        done += host.process_pending()
+        # Drain outputs so the output rings never back-pressure.
+        for s in range(model.config.num_srcs):
+            host.pull_output("a", s, hop)
+            host.pull_output("b", s, hop)
+    dt = time.time() - t0
+    live_rtf = (done * HOP_SECONDS) / dt
+
+    # ---- phase 2: real-time-paced feed, engine on its own thread ------
+    host2 = StreamHost(model, span_index=-1, backlog_hops=8)
+    host2.start(poll_seconds=0.0005)
+    deadline = time.time()
+    for _ in range(hops):
+        host2.push_input(
+            rng.standard_normal(hop).astype(np.float32),
+            rng.standard_normal(hop).astype(np.float32),
+        )
+        for s in range(model.config.num_srcs):
+            host2.pull_output("a", s, hop)
+            host2.pull_output("b", s, hop)
+        deadline += HOP_SECONDS
+        lag = deadline - time.time()
+        if lag > 0:
+            time.sleep(lag)
+    # Allow the engine thread to drain the final backlog.
+    t_end = time.time() + 1.0
+    while host2.hops_processed < hops and time.time() < t_end:
+        time.sleep(0.005)
+    host2.stop()
+    out_overruns = sum(
+        r.overruns for r in host2.outputs_a + host2.outputs_b
+    )
+    xruns = host2.dropped_input_chunks + host2.dropped_input_hops + out_overruns
+    print(
+        json.dumps(
+            {
+                "metric": "live_loop_rtf",
+                "value": round(live_rtf, 3),
+                "paced_hops": hops,
+                "paced_processed": host2.hops_processed,
+                "xruns": int(xruns),
+                "per_hop_ms": round(dt / done * 1000, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

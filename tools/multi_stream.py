@@ -37,7 +37,13 @@ def main():
         # Blessed production config (config.production_overrides) with
         # ONE deviation: the blocked conv kernel stays off under vmap
         # (per-stream row-block shapes don't batch).
-        **{**production_overrides(), "use_pallas_conv": False},
+        **{
+            **production_overrides(),
+            "use_pallas_conv": False,
+            # Tracking whitening's rebuild cond becomes a select under
+            # vmap (both branches every hop) — keep 'invert' here.
+            "subspace_whiten": "invert",
+        },
     )
     rng = np.random.default_rng(0)
     for n_scenes in counts:
