@@ -345,6 +345,17 @@ class ApVastConfig:
     # whitened fresh each hop (no warm start), so this is a cold-start
     # count: quality-gated at 6 on the bundled scene.
     fd_jacobi_sweeps: int = 6
+    # Frequency-domain engine only: which spans to synthesize.
+    # "all" = every cumulative rank 1..V per bin (the reference's
+    # all-ranks contract, Python/apvast.py:406-422) — requires the
+    # per-bin eigendecomposition. "full" = ONLY the full span
+    # (num_eigenvectors == num_srcs * fd_frame_taps), for which the VAST
+    # sum telescopes to w = (A + mu * B_loaded)^{-1} r — one batched
+    # S x S Cholesky solve per bin, NO eigendecomposition. This is the
+    # FD engine's low-cost mode: the batched complex eigh is ~2.7 ms of
+    # the 3.2 ms FD hop on TPU, and the full span is the NMSE-optimal
+    # end of the trade-off — exactly what the FD engine is for.
+    fd_span: str = "all"
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).
@@ -421,6 +432,8 @@ class ApVastConfig:
             raise ValueError("fd_frame_taps must be >= 1")
         if self.fd_bin_coupling < 1 or self.fd_bin_coupling % 2 != 1:
             raise ValueError("fd_bin_coupling must be odd and >= 1")
+        if self.fd_span not in ("all", "full"):
+            raise ValueError("fd_span must be 'all' or 'full'")
         if self.output_spans is not None:
             if len(self.output_spans) == 0:
                 raise ValueError("output_spans must be non-empty")
@@ -488,6 +501,12 @@ class ApVastConfig:
             if self.output_spans is not None
             else self.num_eigenvectors
         )
+
+    @property
+    def fd_num_solutions(self) -> int:
+        """Leading output-rank axis of the FD engine: 1 in the full-span
+        low-cost mode, else every cumulative rank 1..V."""
+        return 1 if self.fd_span == "full" else self.num_eigenvectors
 
     @property
     def num_frames(self) -> int:

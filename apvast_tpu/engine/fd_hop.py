@@ -88,7 +88,7 @@ def init_fd_state(
     dtype = jnp.dtype(config.dtype)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     m, s = config.num_mics, config.num_srcs
-    v = config.num_eigenvectors
+    v = config.fd_num_solutions
     block, bins = config.block_size, config.num_bins
     if key is not None:
         k1, k2 = jax.random.split(key)
@@ -156,6 +156,12 @@ def process_hop_fd(
         raise ValueError(
             f"frequency-domain span rank is per-bin: num_eigenvectors={v} "
             f"must be <= num_srcs * fd_frame_taps = {sb}"
+        )
+    if config.fd_span == "full" and v != sb:
+        raise ValueError(
+            "fd_span='full' is the telescoped full-span solve — it "
+            f"requires num_eigenvectors == num_srcs * fd_frame_taps "
+            f"({sb}), got {v}"
         )
     if config.output_spans is not None:
         # The FD engine's cumulative per-bin synthesis always emits every
@@ -274,31 +280,50 @@ def process_hop_fd(
         reg_vec = jnp.full((2 * bins,), reg)
     eye = jnp.eye(sb, dtype=b_stack.dtype)
     b_loaded = b_stack + reg_vec[:, None, None] * eye
-    if config.fd_eigh == "jacobi" and dtype != jnp.float32:
-        raise ValueError(
-            "fd_eigh='jacobi' is a float32 kernel — it would silently "
-            "degrade a float64 config"
-        )
-    u, lam = jdiag_hermitian_batched(
-        a_stack,
-        b_loaded,
-        0.0,
-        eigh_impl=config.fd_eigh,
-        jacobi_sweeps=config.fd_jacobi_sweeps,
-        interpret=(jax.default_backend() == "cpu"),
-    )
-    u = u.reshape(2, bins, sb, sb)
-    lam = lam.reshape(2, bins, sb)
+    v_out = config.fd_num_solutions
+    if config.fd_span == "full":
+        # Low-cost mode: the full-span VAST sum telescopes,
+        #   w = sum_i (u_i^H r)/(lam_i + mu) u_i = (A + mu B_loaded)^{-1} r
+        # (U^H B_loaded U = I over the full span), so the per-bin design
+        # is ONE batched Hermitian-PD Cholesky solve — no eigh at all.
+        # Identical math to the 'all' path's last rank (pinned in
+        # tests/test_fd_engine.py).
+        from jax.scipy.linalg import solve_triangular as _st
 
-    # ---- per-bin variable-span synthesis ------------------------------
-    # coef_i(f) = (u_i^H r_f) / (lam_i + mu); all ranks via cumsum.
-    coef = jnp.einsum("zfsi,zfs->zfi", jnp.conj(u), cross_d) / (
-        lam + jnp.asarray(config.mu, dtype=lam.dtype)
-    )
-    # w ranks: (2, bins, V, s)
-    w_all = jnp.cumsum(
-        coef[..., :v, None] * u.transpose(0, 1, 3, 2)[:, :, :v, :], axis=2
-    )
+        h = a_stack + jnp.asarray(config.mu, b_loaded.dtype) * b_loaded
+        h = 0.5 * (h + jnp.conj(h.swapaxes(-1, -2)))
+        chol = jnp.linalg.cholesky(h)
+        r = cross_d.reshape(2 * bins, sb, 1)
+        y = _st(chol, r, lower=True)
+        w = _st(jnp.conj(chol.swapaxes(-1, -2)), y, lower=False)
+        w_all = w.reshape(2, bins, 1, sb)  # (2, bins, V_out=1, sb)
+    else:
+        if config.fd_eigh == "jacobi" and dtype != jnp.float32:
+            raise ValueError(
+                "fd_eigh='jacobi' is a float32 kernel — it would silently "
+                "degrade a float64 config"
+            )
+        u, lam = jdiag_hermitian_batched(
+            a_stack,
+            b_loaded,
+            0.0,
+            eigh_impl=config.fd_eigh,
+            jacobi_sweeps=config.fd_jacobi_sweeps,
+            interpret=(jax.default_backend() == "cpu"),
+        )
+        u = u.reshape(2, bins, sb, sb)
+        lam = lam.reshape(2, bins, sb)
+
+        # ---- per-bin variable-span synthesis --------------------------
+        # coef_i(f) = (u_i^H r_f) / (lam_i + mu); all ranks via cumsum.
+        coef = jnp.einsum("zfsi,zfs->zfi", jnp.conj(u), cross_d) / (
+            lam + jnp.asarray(config.mu, dtype=lam.dtype)
+        )
+        # w ranks: (2, bins, V, s)
+        w_all = jnp.cumsum(
+            coef[..., :v, None] * u.transpose(0, 1, 3, 2)[:, :, :v, :],
+            axis=2,
+        )
     zone_gate = jnp.asarray(
         [float(config.run_a), float(config.run_b)], dtype=dtype
     )
@@ -311,8 +336,8 @@ def process_hop_fd(
     silenced = jnp.sum(bad_w, dtype=jnp.int32)
     w_all = jnp.where(bad_w, 0, w_all)
 
-    filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V, s*B, bins)
-    filt_spec = filt_spec.reshape(2, v, b, s, filt_spec.shape[-1])
+    filt_spec = w_all.transpose(0, 2, 3, 1)  # (2, V_out, s*B, bins)
+    filt_spec = filt_spec.reshape(2, v_out, b, s, filt_spec.shape[-1])
     # Constrain each frame tap to a J-tap FIR filter (projection:
     # ifft -> truncate -> fft), restoring the time-domain engine's filter
     # structure so the WOLA output path stays alias-free.

@@ -100,7 +100,7 @@ class ApVastFD:
         if input_a.shape[0] != hop or input_b.shape[0] != hop:
             raise ValueError(f"inputs must be exactly hop={hop} samples")
         self.state, outputs = self._hop_fn(self.plan, self.state, input_a, input_b)
-        v = self.config.num_eigenvectors
+        v = self.config.fd_num_solutions
         tile = lambda t: jnp.broadcast_to(t, (v, *t.shape))
         return (
             outputs.out_a,
@@ -119,7 +119,7 @@ class ApVastFD:
             self.plan, self.state, signal_a[:n], signal_b[:n]
         )
         stitch = lambda x: None if x is None else stitch_outputs(x)
-        v = self.config.num_eigenvectors
+        v = self.config.fd_num_solutions
 
         def stitch_target(t):
             flat = t.reshape(-1, t.shape[-1])

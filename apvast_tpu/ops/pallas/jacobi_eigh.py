@@ -174,20 +174,46 @@ def jacobi_eigh(
         a2 = jnp.pad(a2, ((0, 0), (0, npad - n), (0, npad - n)))
     src = jnp.asarray(tournament_schedule(npad), jnp.int32).reshape(1, npad)
 
-    kernel = functools.partial(_kernel, bz=bz, n=npad, sweeps=sweeps)
+    # Chunk huge pencil batches over a grid: the engine's own use is a
+    # handful of (64, 64) projections per hop (one whole-batch program),
+    # but the FD engine asks for thousands of tiny pencils at once, and
+    # one no-grid program over a (3204, 16, 16) block both exceeds any
+    # reasonable unroll budget in Mosaic and pins ~3 MB live per operand.
+    chunk = bz if bz * npad * npad <= 2 * 64 * 64 else max(
+        1, (16 * 1024) // (npad * npad)
+    )
+    gz = -(-bz // chunk)
+    if gz * chunk != bz:
+        a2 = jnp.pad(a2, ((0, gz * chunk - bz), (0, 0), (0, 0)))
+        # Pad pencils are all-zero: every rotation angle is 0 (denom
+        # guard), so the kernel is exact on them and they slice off.
+
+    kernel = functools.partial(_kernel, bz=chunk, n=npad, sweeps=sweeps)
     w, v = pl.pallas_call(
         kernel,
+        grid=(gz,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (chunk, npad, npad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, npad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, chunk, npad), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chunk, npad, npad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, bz, npad), jnp.float32),
-            jax.ShapeDtypeStruct((bz, npad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, gz * chunk, npad), jnp.float32),
+            jax.ShapeDtypeStruct((gz * chunk, npad, npad), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -196,7 +222,8 @@ def jacobi_eigh(
             transcendentals=bz * sweeps * (npad - 1) * 2 * npad,
         ),
     )(a2, src)
-    w = w[0]
+    w = w[0][:bz]
+    v = v[:bz]
 
     if npad != n:
         # Pad slots are decoupled (zero off-diagonals preserved by every

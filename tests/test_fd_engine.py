@@ -348,3 +348,53 @@ def test_fd_wrapper_rank_cap_honors_frame_taps():
         m2.process_input_buffers(
             np.zeros(m2.config.hop), np.zeros(m2.config.hop)
         )
+
+
+@pytest.mark.parametrize("coupling", [1, 5])
+def test_fd_full_span_matches_all_ranks_last(rng, coupling):
+    """fd_span='full' (the low-cost mode: one batched Hermitian-PD
+    Cholesky solve per bin, NO eigendecomposition) must produce exactly
+    the all-ranks path's LAST rank: over the full span U^H B_loaded U = I,
+    so the VAST sum telescopes, sum_i (u_i^H r)/(lam_i + mu) u_i
+    == (A + mu B_loaded)^{-1} r. Checked in the independent AND the
+    leakage-coupled formulation (the smoothing happens upstream of the
+    solve, so the identity must survive it)."""
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(120, 4, 3, seed=51)
+    rir_b = synthetic_rirs(120, 4, 3, seed=52)
+    common = dict(
+        block_size=256, rir_a=rir_a, rir_b=rir_b, filter_length=32,
+        modeling_delay=6, reference_index_a=0, reference_index_b=0,
+        number_of_eigenvectors=4, mu=1.0, sampling_rate=8000,
+        perceptual=False, fd_bin_coupling=coupling,
+    )
+    sig_a = rng.standard_normal(256 // 2 * 6)
+    sig_b = rng.standard_normal(256 // 2 * 6)
+    m_all = ApVastFD(key=jax.random.key(0), **common)
+    m_full = ApVastFD(key=jax.random.key(0), fd_span="full", **common)
+    out_all = m_all.process_signals(sig_a, sig_b)
+    out_full = m_full.process_signals(sig_a, sig_b)
+    assert out_full[0].shape[0] == 1
+    for o_all, o_full in zip(out_all[:2], out_full[:2]):
+        np.testing.assert_allclose(
+            np.asarray(o_full[0]), np.asarray(o_all[-1]),
+            rtol=2e-4, atol=2e-6,
+        )
+
+
+def test_fd_full_span_requires_full_rank():
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(60, 3, 2, seed=3)
+    rir_b = synthetic_rirs(60, 3, 2, seed=4)
+    m = ApVastFD(
+        block_size=64, rir_a=rir_a, rir_b=rir_b, filter_length=16,
+        modeling_delay=3, reference_index_a=0, reference_index_b=1,
+        number_of_eigenvectors=2, mu=1.0, sampling_rate=8000,
+        perceptual=False, fd_span="full", key=jax.random.key(0),
+    )
+    with pytest.raises(ValueError, match="full-span"):
+        m.process_input_buffers(
+            np.zeros(m.config.hop), np.zeros(m.config.hop)
+        )

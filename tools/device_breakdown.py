@@ -132,6 +132,46 @@ def main():
     wall = (time.time() - t0) / nh * 1000
     print(f"wall: {wall:.3f} ms/hop over {nh} hops", flush=True)
 
+    # ---- MFU / roofline (VERDICT r3 weak #6) ---------------------------
+    # XLA's own cost model counts issued FLOPs and HBM bytes for the
+    # whole compiled stream; divided by measured device time this says
+    # whether the hop is compute-, bandwidth-, or latency-bound.
+    # v5e peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+    PEAK_FLOPS, PEAK_BW = 197e12, 819e9
+    flops = bytes_acc = None
+    try:
+        if mode.startswith("fd"):
+            ca = fd_j.lower(state, plan, sig_a, sig_b).compile()
+        else:
+            ca = run_compiled.lower(state).compile()
+        cost = ca.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = cost.get("flops")
+        bytes_acc = cost.get("bytes accessed")
+    except Exception as e:  # tunnel backends may not expose the analysis
+        print(f"cost_analysis unavailable: {e}")
+    if flops:
+        gf_hop = flops / nh / 1e9
+        ti = wall / 1e3  # s/hop wall; device sync time printed below
+        ach_tf = flops / nh / ti / 1e12
+        line = (
+            f"roofline: {gf_hop:.2f} GFLOP/hop -> {ach_tf:.2f} TFLOP/s "
+            f"achieved = {100 * ach_tf * 1e12 / PEAK_FLOPS:.2f}% of v5e "
+            f"bf16 peak"
+        )
+        if bytes_acc:
+            gb_hop = bytes_acc / nh / 1e9
+            ach_bw = bytes_acc / nh / ti / 1e9
+            ai = flops / bytes_acc
+            line += (
+                f"; {gb_hop * 1000:.1f} MB/hop -> {ach_bw:.0f} GB/s = "
+                f"{100 * ach_bw * 1e9 / PEAK_BW:.1f}% of HBM peak; "
+                f"arith intensity {ai:.1f} FLOP/B "
+                f"(ridge {PEAK_FLOPS / PEAK_BW:.0f})"
+            )
+        print(line, flush=True)
+
     logdir = tempfile.mkdtemp(prefix="apvast_prof_")
     jax.profiler.start_trace(logdir)
     float(run_compiled(state))
@@ -148,8 +188,16 @@ def main():
     # separately so the sync rows aren't drowned out.
     sync = {n: u for n, u in rows.items() if "start" not in n.split(" = ")[0]}
     async_us = total - sum(sync.values())
-    print(f"sync ops: {sum(sync.values())/1000/nh:.4f} ms/hop; "
+    sync_ms_hop = sum(sync.values()) / 1000 / nh
+    print(f"sync ops: {sync_ms_hop:.4f} ms/hop; "
           f"async copy/slice wall: {async_us/1000/nh:.4f} ms/hop (overlapped)")
+    if flops and sync_ms_hop > 0:
+        dev_tf = flops / nh / (sync_ms_hop / 1e3) / 1e12
+        print(
+            f"device-time MFU: {dev_tf:.2f} TFLOP/s over sync device time "
+            f"= {100 * dev_tf * 1e12 / PEAK_FLOPS:.2f}% of v5e bf16 peak",
+            flush=True,
+        )
     import re as _re
 
     cats = collections.Counter()

@@ -56,8 +56,8 @@ def build_model():
     )
 
 
-def main():
-    hops = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+def run(hops: int = 1000) -> dict:
+    """Run both phases; returns the artifact dict (bench.py 'live' child)."""
     model = build_model()
     hop = model.config.hop
     rng = np.random.default_rng(0)
@@ -112,19 +112,19 @@ def main():
         r.overruns for r in host2.outputs_a + host2.outputs_b
     )
     xruns = host2.dropped_input_chunks + host2.dropped_input_hops + out_overruns
-    print(
-        json.dumps(
-            {
-                "metric": "live_loop_rtf",
-                "value": round(live_rtf, 3),
-                "paced_hops": hops,
-                "paced_processed": host2.hops_processed,
-                "xruns": int(xruns),
-                "per_hop_ms": round(dt / done * 1000, 3),
-            }
-        ),
-        flush=True,
-    )
+    return {
+        "metric": "live_loop_rtf",
+        "value": round(live_rtf, 3),
+        "paced_hops": hops,
+        "paced_processed": host2.hops_processed,
+        "xruns": int(xruns),
+        "per_hop_ms": round(dt / done * 1000, 3),
+    }
+
+
+def main():
+    hops = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    print(json.dumps(run(hops)), flush=True)
 
 
 if __name__ == "__main__":
