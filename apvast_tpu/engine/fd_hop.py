@@ -43,6 +43,8 @@ import numpy as np
 from apvast_tpu.config import ApVastConfig
 from apvast_tpu.engine.hop import (
     HopOutputs,
+    _analyze,
+    _synthesize,
     convolve_inputs,
     weighted_spectra,
 )
@@ -53,9 +55,7 @@ from apvast_tpu.ops.wola import (
     rfft_batched,
     slide,
     slide_tail,
-    wola_analyze,
     wola_overlap_add_tail,
-    wola_synthesize,
 )
 
 
@@ -178,7 +178,6 @@ def process_hop_fd(
             "use_pallas_conv is incompatible with mic sharding (the kernel "
             "row stack folds the global mic axis)"
         )
-    win = plan.window
 
     hops = jnp.stack([hop_a, hop_b]).astype(dtype)
     conv_history, resp, target_resp = convolve_inputs(
@@ -288,14 +287,13 @@ def process_hop_fd(
         # is ONE batched Hermitian-PD Cholesky solve — no eigh at all.
         # Identical math to the 'all' path's last rank (pinned in
         # tests/test_fd_engine.py).
-        from jax.scipy.linalg import solve_triangular as _st
+        from apvast_tpu.ops.small_chol import posdef_solve_small
 
         h = a_stack + jnp.asarray(config.mu, b_loaded.dtype) * b_loaded
-        h = 0.5 * (h + jnp.conj(h.swapaxes(-1, -2)))
-        chol = jnp.linalg.cholesky(h)
-        r = cross_d.reshape(2 * bins, sb, 1)
-        y = _st(chol, r, lower=True)
-        w = _st(jnp.conj(chol.swapaxes(-1, -2)), y, lower=False)
+        # Unrolled tiny-batch Cholesky: jnp.linalg.cholesky's LAPACK-
+        # shaped custom call measures 1.39 ms/hop at (1602, 8, 8) on
+        # v5e — the most expensive op in the whole FD hop.
+        w = posdef_solve_small(h, cross_d.reshape(2 * bins, sb, 1))
         w_all = w.reshape(2, bins, 1, sb)  # (2, bins, V_out=1, sb)
     else:
         if config.fd_eigh == "jacobi" and dtype != jnp.float32:
@@ -340,13 +338,34 @@ def process_hop_fd(
     filt_spec = filt_spec.reshape(2, v_out, b, s, filt_spec.shape[-1])
     # Constrain each frame tap to a J-tap FIR filter (projection:
     # ifft -> truncate -> fft), restoring the time-domain engine's filter
-    # structure so the WOLA output path stays alias-free.
-    w_time = irfft_batched(filt_spec, block)[..., : config.filter_length]
-    filt_spec = rfft_batched(w_time, block)  # (2, V, B, s, bins)
+    # structure so the WOLA output path stays alias-free. Under
+    # use_matmul_dft both directions are thin MXU contractions against
+    # the plan's (bins, J)/(J, bins) projection matrices — on TPU the
+    # size-1600 FFT custom call decomposes into dozens of relayout-heavy
+    # small ops that dominated the FD hop (PERF.md round-4 breakdown).
+    if config.use_matmul_dft:
+        re, im = jnp.real(filt_spec), jnp.imag(filt_spec)
+        w_time = jnp.einsum(
+            "...k,kj->...j", re, plan.proj_idft_cos,
+            preferred_element_type=re.dtype,
+        ) - jnp.einsum(
+            "...k,kj->...j", im, plan.proj_idft_sin,
+            preferred_element_type=im.dtype,
+        )
+        filt_spec = jnp.einsum(
+            "...j,jk->...k", w_time, plan.proj_dft_cos,
+            preferred_element_type=w_time.dtype,
+        ) - 1j * jnp.einsum(
+            "...j,jk->...k", w_time, plan.proj_dft_sin,
+            preferred_element_type=w_time.dtype,
+        )
+    else:
+        w_time = irfft_batched(filt_spec, block)[..., : config.filter_length]
+        filt_spec = rfft_batched(w_time, block)  # (2, V, B, s, bins)
 
     # ---- output synthesis (same WOLA machinery as the TD engine) ------
     input_blocks = slide(state.input_blocks, hops)
-    in_spec = wola_analyze(win, input_blocks)  # (2, bins)
+    in_spec = _analyze(config, plan, input_blocks)  # (2, bins)
 
     # Cross-frame filtering: tap tau applies to the input spectrum of
     # tau frames ago.
@@ -359,13 +378,13 @@ def process_hop_fd(
         )
     else:
         out_spec = in_spec[:, None, None, :] * filt_spec[:, :, 0]
-    new_out = wola_synthesize(win, out_spec, block)
+    new_out = _synthesize(config, plan, out_spec, block)
     out_overlap, out_emit = wola_overlap_add_tail(
         state.out_overlap, new_out, hop
     )
 
     t_out_spec = in_spec[:, None, :] * plan.target_filter_spec
-    new_t_out = wola_synthesize(win, t_out_spec, block)
+    new_t_out = _synthesize(config, plan, t_out_spec, block)
     target_out_overlap, t_emit = wola_overlap_add_tail(
         state.target_out_overlap, new_t_out, hop
     )

@@ -274,11 +274,19 @@ def process_hop(
     hop_a: jax.Array,
     hop_b: jax.Array,
     mic_axis: str | None = None,
+    rebuild_override: jax.Array | None = None,
 ) -> tuple[ApVastState, HopOutputs]:
     """One hop. ``mic_axis``: when running inside ``shard_map`` with the
     microphone axis sharded over a mesh axis of that name, the statistics
     accumulation psums partial (R, r) over it — the only cross-device
-    communication in the whole hop (survey §5 'distributed backend')."""
+    communication in the whole hop (survey §5 'distributed backend').
+
+    ``rebuild_override``: tracking whitening only — a SCALAR bool that
+    replaces the state-derived preconditioner-rebuild predicate. Batched
+    callers (vmap over scenes) must pass this with ``in_axes=None``: the
+    per-state predicate would be batched, turning the rebuild
+    ``lax.cond`` into a select that pays the (n, n) factorization every
+    hop for every stream (the round-3 multi-stream throughput loss)."""
     dtype = jnp.dtype(config.dtype)
     hop, block = config.hop, config.block_size
     j, s, v = config.filter_length, config.num_srcs, config.num_eigenvectors
@@ -477,10 +485,13 @@ def process_hop(
             )
         from apvast_tpu.ops.jdiag import jdiag_topk_tracked
 
-        rebuild = jnp.logical_or(
-            gevd_hop < config.tracking_warmup_hops,
-            gevd_hop % config.tracking_rebuild_period == 0,
-        )
+        if rebuild_override is not None:
+            rebuild = rebuild_override
+        else:
+            rebuild = jnp.logical_or(
+                gevd_hop < config.tracking_warmup_hops,
+                gevd_hop % config.tracking_rebuild_period == 0,
+            )
         u, lam, gevd_q, gevd_lam, gevd_minv, silenced = jdiag_topk_tracked(
             a_stack,
             b_stack,

@@ -66,6 +66,13 @@ class ApVastPlan:
     ca: jax.Array | None
     leff: jax.Array | None
     spectrum_scale: jax.Array | None
+    # FIR-projection matrices for the FD engine's J-tap constraint
+    # (spec -> first J time samples -> spec; None unless use_matmul_dft):
+    # inverse (bins, J) and plain forward (J, bins) cos/sin pairs.
+    proj_idft_cos: jax.Array | None = None
+    proj_idft_sin: jax.Array | None = None
+    proj_dft_cos: jax.Array | None = None
+    proj_dft_sin: jax.Array | None = None
 
 
 def _delayed_target_rir(rir: np.ndarray, ref_index: int, delay: int) -> np.ndarray:
@@ -174,6 +181,7 @@ def build_plan(
     )
 
     dft_cos = dft_sin = idft_cos = idft_sin = idft_cos_plain = None
+    proj_idft_cos = proj_idft_sin = proj_dft_cos = proj_dft_sin = None
     if config.use_matmul_dft:
         block = config.block_size
         ang = (
@@ -196,6 +204,15 @@ def build_plan(
         idft_cos = jnp.asarray((np.cos(ang) * inv_w).T * win[None, :], dtype=dtype)
         idft_sin = jnp.asarray((np.sin(ang) * inv_w).T * win[None, :], dtype=dtype)
         idft_cos_plain = jnp.asarray((np.cos(ang) * inv_w).T, dtype=dtype)
+        # FD J-tap projection: only the first filter_length time samples
+        # of the inverse transform are kept, so both directions are thin
+        # (bins x J) / (J x bins) MXU contractions instead of FFT round
+        # trips (engine/fd_hop.py filter constraint).
+        j = config.filter_length
+        proj_idft_cos = jnp.asarray((np.cos(ang[:j]) * inv_w).T, dtype=dtype)
+        proj_idft_sin = jnp.asarray((np.sin(ang[:j]) * inv_w).T, dtype=dtype)
+        proj_dft_cos = jnp.asarray(np.cos(ang[:j]), dtype=dtype)
+        proj_dft_sin = jnp.asarray(np.sin(ang[:j]), dtype=dtype)
 
     return ApVastPlan(
         window=sine_window(config.block_size, dtype=dtype),
@@ -208,6 +225,10 @@ def build_plan(
         idft_cos=idft_cos,
         idft_sin=idft_sin,
         idft_cos_plain=idft_cos_plain,
+        proj_idft_cos=proj_idft_cos,
+        proj_idft_sin=proj_idft_sin,
+        proj_dft_cos=proj_dft_cos,
+        proj_dft_sin=proj_dft_sin,
         cfmr_sq=cfmr_sq,
         cs=cs,
         ca=ca,

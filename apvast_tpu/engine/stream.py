@@ -6,6 +6,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from apvast_tpu.config import ApVastConfig
 from apvast_tpu.engine.hop import HopOutputs, process_hop
@@ -37,6 +38,60 @@ def run_stream(
         return process_hop(config, plan, carry, ha, hb)
 
     return jax.lax.scan(step, state, (hops_a, hops_b))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def run_multi_stream(
+    config: ApVastConfig,
+    plans: ApVastPlan,
+    states: ApVastState,
+    signals_a: jax.Array,
+    signals_b: jax.Array,
+) -> tuple[ApVastState, HopOutputs]:
+    """Batched serving streams: ``lax.scan`` over hops OUTSIDE, a
+    vmapped hop transition inside (scan-of-vmap).
+
+    ``plans``/``states``: per-scene pytrees stacked on a leading scene
+    axis; ``signals_*``: (scenes, num_hops * hop). Returns the final
+    stacked states and HopOutputs with leading (num_hops, scenes) axes.
+
+    vmap(run_stream) — vmap-of-scan — batches the tracking whitening's
+    rebuild predicate, so its ``lax.cond`` lowers to a select that pays
+    the (jl, jl) factorization EVERY hop for EVERY stream. Here the
+    cadence is computed once per scan step from the shared hop counter
+    (all lockstep streams rebuild together) and passed to the hop as an
+    unbatched scalar, so serving keeps the production tracking solver.
+    """
+    hop = config.hop
+    scenes = signals_a.shape[0]
+    num_hops = signals_a.shape[1] // hop
+    hops_a = signals_a[:, : num_hops * hop].reshape(scenes, num_hops, hop)
+    hops_b = signals_b[:, : num_hops * hop].reshape(scenes, num_hops, hop)
+    hops_a = jnp.swapaxes(hops_a, 0, 1)  # (num_hops, scenes, hop)
+    hops_b = jnp.swapaxes(hops_b, 0, 1)
+
+    tracking = states.gevd_hop is not None
+    # Lockstep streams share the rebuild cadence; scene 0's carried
+    # counter stands for all (init_state starts every scene at 0).
+    base = states.gevd_hop[0] if tracking else jnp.zeros((), jnp.int32)
+
+    def step(carry: ApVastState, xs):
+        ha, hb, i = xs
+        rebuild = None
+        if tracking:
+            gevd_hop = base + i
+            rebuild = jnp.logical_or(
+                gevd_hop < config.tracking_warmup_hops,
+                gevd_hop % config.tracking_rebuild_period == 0,
+            )
+        return jax.vmap(
+            lambda p, st, a, b: process_hop(
+                config, p, st, a, b, rebuild_override=rebuild
+            )
+        )(plans, carry, ha, hb)
+
+    steps = jnp.arange(num_hops, dtype=jnp.int32)
+    return jax.lax.scan(step, states, (hops_a, hops_b, steps))
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -663,13 +663,18 @@ def jdiag_hermitian_batched(
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
 
-    def _whiten(a, b):
-        chol = jnp.linalg.cholesky(b + reg * eye)
-        half = solve_triangular(chol, a, lower=True)
-        white = solve_triangular(chol, half.conj().T, lower=True).conj().T
-        return 0.5 * (white + white.conj().T), chol
+    # Unrolled tiny-batch Cholesky (ops/small_chol): the LAPACK-shaped
+    # batched cholesky custom call costs 1.39 ms at (1602, 8, 8) on v5e.
+    from apvast_tpu.ops.small_chol import cholesky_small
 
-    white, chol = jax.vmap(_whiten)(A, B)
+    chol = cholesky_small(B + reg * eye)
+
+    def _whiten(a, c):
+        half = solve_triangular(c, a, lower=True)
+        white = solve_triangular(c, half.conj().T, lower=True).conj().T
+        return 0.5 * (white + white.conj().T)
+
+    white = jax.vmap(_whiten)(A, chol)
     from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh_hermitian
 
     d, v = jacobi_eigh_hermitian(

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from apvast_tpu.config import ApVastConfig
+from apvast_tpu.config import ApVastConfig, GevdSolver
 from apvast_tpu.engine.hop import HopOutputs, process_hop
 from apvast_tpu.engine.plan import ApVastPlan
 from apvast_tpu.engine.state import ApVastState
@@ -218,11 +218,34 @@ def sharded_multi_scene_hop(
     """
     use_mic = mesh is not None and mic_axis in mesh.axis_names
     axis = mic_axis if use_mic else None
+    tracking = (
+        config.gevd_solver is GevdSolver.SUBSPACE
+        and config.subspace_whiten == "tracking"
+    )
 
-    def single(plan, state, ha, hb):
-        return process_hop(config, plan, state, ha, hb, mic_axis=axis)
+    def single(plan, state, ha, hb, rebuild):
+        return process_hop(
+            config, plan, state, ha, hb, mic_axis=axis,
+            rebuild_override=rebuild,
+        )
 
-    batched_fn = jax.vmap(single)
+    # The rebuild predicate must stay an UNBATCHED scalar (in_axes=None):
+    # lockstep scenes share the cadence, computed from scene 0's carried
+    # counter. A per-scene (batched) predicate would lower the tracking
+    # solver's rebuild cond to a select paying the (jl, jl) factorization
+    # every hop for every stream.
+    vmapped = jax.vmap(single, in_axes=(0, 0, 0, 0, None))
+
+    def batched_fn(plans, states, hops_a, hops_b):
+        rebuild = None
+        if tracking:
+            gevd_hop = states.gevd_hop[0]
+            rebuild = jnp.logical_or(
+                gevd_hop < config.tracking_warmup_hops,
+                gevd_hop % config.tracking_rebuild_period == 0,
+            )
+        return vmapped(plans, states, hops_a, hops_b, rebuild)
+
     if mesh is None:
         return jax.jit(batched_fn)
 

@@ -398,3 +398,31 @@ def test_fd_full_span_requires_full_rank():
         m.process_input_buffers(
             np.zeros(m.config.hop), np.zeros(m.config.hop)
         )
+
+
+def test_fd_matmul_dft_matches_fft_path(rng):
+    """The FD engine under use_matmul_dft (analysis, synthesis, and the
+    J-tap projection as thin MXU contractions against the plan's
+    projection matrices) must match the FFT path to float32 precision —
+    on TPU the size-N FFT custom call decomposes into dozens of
+    relayout-heavy small ops that dominated the FD hop."""
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(120, 4, 3, seed=51)
+    rir_b = synthetic_rirs(120, 4, 3, seed=52)
+    common = dict(
+        block_size=256, rir_a=rir_a, rir_b=rir_b, filter_length=32,
+        modeling_delay=6, reference_index_a=0, reference_index_b=0,
+        number_of_eigenvectors=8, mu=1.0, sampling_rate=8000,
+        perceptual=True, forgetting=0.9, fd_bin_coupling=5,
+        fd_frame_taps=2, dtype="float32",
+    )
+    sa = rng.standard_normal(128 * 8)
+    sb = rng.standard_normal(128 * 8)
+    m1 = ApVastFD(key=jax.random.key(0), **common)
+    m2 = ApVastFD(key=jax.random.key(0), use_matmul_dft=True, **common)
+    for a, b in zip(m1.process_signals(sa, sb), m2.process_signals(sa, sb)):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5 * scale, rtol=0
+        )

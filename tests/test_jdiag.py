@@ -81,3 +81,33 @@ def test_near_singular_dark_matrix(rng):
     u, d = jdiag(jnp.asarray(a), jnp.asarray(b), 1e-7)
     assert np.all(np.isfinite(np.asarray(u)))
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_cholesky_small_matches_lapack():
+    """ops/small_chol: the unrolled tiny-batch Cholesky must match
+    jnp.linalg.cholesky (lower triangle, zeros above) and solve PD
+    systems — it replaces the LAPACK-shaped custom call that costs
+    1.39 ms at (1602, 8, 8) in the FD hop on v5e."""
+    import numpy as np
+
+    from apvast_tpu.ops.small_chol import cholesky_small, posdef_solve_small
+
+    rng = np.random.default_rng(11)
+    for n, dt in ((8, np.complex64), (16, np.complex64), (5, np.float64)):
+        x = rng.standard_normal((64, n, n + 3))
+        if np.issubdtype(dt, np.complexfloating):
+            x = x + 1j * rng.standard_normal((64, n, n + 3))
+        h = (x @ np.conj(x.swapaxes(-1, -2))).astype(dt)
+        ref = np.linalg.cholesky(h)
+        got = np.asarray(cholesky_small(jnp.asarray(h)))
+        tol = 1e-5 * np.max(np.abs(ref)) if dt == np.complex64 else 1e-11
+        np.testing.assert_allclose(got, ref, atol=tol, rtol=0)
+        r = rng.standard_normal((64, n, 2)).astype(dt)
+        w = np.asarray(posdef_solve_small(jnp.asarray(h), jnp.asarray(r)))
+        resid = np.max(np.abs(h @ w - r))
+        assert resid < (1e-3 if dt == np.complex64 else 1e-9), resid
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unrolls"):
+        cholesky_small(jnp.eye(40))

@@ -231,3 +231,92 @@ def test_fd_mic_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(got_out.out_a), np.asarray(ref_out.out_a), rtol=1e-8, atol=1e-10
     )
+
+
+def test_run_multi_stream_matches_per_scene_tracking():
+    """run_multi_stream (scan-of-vmap, shared rebuild cadence) must match
+    per-scene run_stream exactly under the TRACKING whitening — the
+    serving layout the round-3 multi-stream bench had to disable (the
+    vmapped rebuild cond lowered to a per-hop select). All scenes start
+    at hop 0, so the shared cadence IS each scene's own cadence."""
+    import dataclasses
+
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.engine import run_stream
+    from apvast_tpu.engine.stream import run_multi_stream
+
+    cfg = dataclasses.replace(
+        _scene_config(),
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking",
+        tracking_warmup_hops=2,
+        tracking_rebuild_period=3,
+    )
+    plans, states, sigs = [], [], []
+    rng = np.random.default_rng(21)
+    n = cfg.hop * 7
+    for i in range(2):
+        rir_a = synthetic_rirs(64, 4, 8, seed=60 + i)
+        rir_b = synthetic_rirs(64, 4, 8, seed=65 + i)
+        plans.append(build_plan(cfg, rir_a, rir_b))
+        states.append(init_state(cfg, key=jax.random.key(i)))
+        sigs.append(rng.standard_normal((2, n)))
+    sig_a = jnp.asarray(np.stack([s[0] for s in sigs]))
+    sig_b = jnp.asarray(np.stack([s[1] for s in sigs]))
+
+    st_batch, out_batch = run_multi_stream(
+        cfg, _stack(plans), _stack(states), sig_a, sig_b
+    )
+    for i in range(2):
+        st_i, out_i = run_stream(
+            cfg, plans[i], states[i], sig_a[i], sig_b[i]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_batch.out_a[:, i]), np.asarray(out_i.out_a),
+            rtol=1e-10, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_batch.gevd_minv[i]), np.asarray(st_i.gevd_minv),
+            rtol=1e-10, atol=1e-12,
+        )
+    assert int(st_batch.gevd_hop[0]) == 7
+
+
+def test_multi_scene_hop_tracking_scalar_rebuild():
+    """The per-hop serving path (sharded_multi_scene_hop) under tracking:
+    batched scenes advance identically to per-scene process_hop."""
+    import dataclasses
+
+    from apvast_tpu.config import GevdSolver
+    from apvast_tpu.engine.hop import process_hop
+
+    cfg = dataclasses.replace(
+        _scene_config(),
+        gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking",
+        tracking_warmup_hops=1,
+        tracking_rebuild_period=2,
+    )
+    plans, states = [], []
+    for i in range(2):
+        rir_a = synthetic_rirs(64, 4, 8, seed=60 + i)
+        rir_b = synthetic_rirs(64, 4, 8, seed=65 + i)
+        plans.append(build_plan(cfg, rir_a, rir_b))
+        states.append(init_state(cfg, key=jax.random.key(i)))
+    hop_fn = sharded_multi_scene_hop(cfg)
+    rng = np.random.default_rng(3)
+    sts = _stack(states)
+    for _ in range(3):
+        ha = jnp.asarray(rng.standard_normal((2, cfg.hop)))
+        hb = jnp.asarray(rng.standard_normal((2, cfg.hop)))
+        sts, out = hop_fn(_stack(plans), sts, ha, hb)
+        refs = []
+        for i in range(2):
+            states[i], ref = process_hop(
+                cfg, plans[i], states[i], ha[i], hb[i]
+            )
+            refs.append(ref)
+        np.testing.assert_allclose(
+            np.asarray(out.out_a), np.stack([np.asarray(r.out_a) for r in refs]),
+            rtol=1e-10, atol=1e-12,
+        )

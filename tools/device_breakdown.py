@@ -71,10 +71,14 @@ def main():
             if "coupled" in mode
             else {}
         )
+        if "full" in mode:  # fdfull / fdfullcoupled: telescoped low-cost
+            kw["fd_span"] = "full"
+            kw["number_of_eigenvectors"] = 16 if "coupled" in mode else 8
         m = ApVastFD(
             block_size=1600, rir_a=rir_a, rir_b=rir_b, filter_length=100,
             modeling_delay=20, reference_index_a=7, reference_index_b=7,
-            number_of_eigenvectors=8, mu=1.0, dtype="float32",
+            number_of_eigenvectors=kw.pop("number_of_eigenvectors", 8),
+            mu=1.0, dtype="float32",
             sampling_rate=48000, perceptual=True, key=jax.random.key(0),
             forgetting=0.97, **kw,
         )

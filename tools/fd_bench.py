@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--eigh", default="lapack", choices=["lapack", "jacobi"])
+    ap.add_argument(
+        "--no-prod", action="store_true",
+        help="disable the production data-path knobs (matmul-DFT + "
+        "Pallas conv) that replace the FFT custom calls on TPU",
+    )
     args = ap.parse_args()
 
     import jax
@@ -44,17 +49,27 @@ def main():
     rir_a, rir_b = load_reference_rirs()
     print(f"device: {jax.devices()[0].platform}  NH={args.hops}", flush=True)
     rng = np.random.default_rng(0)
+    prod = {} if args.no_prod or args.cpu else dict(
+        use_matmul_dft=True, use_pallas_conv=True
+    )
 
     for label, kw in (
         ("independent", {}),
         ("coupled C=7 B=2", dict(fd_bin_coupling=7, fd_frame_taps=2)),
+        # fd_span='full': the low-cost telescoped solve — no eigh. The
+        # rank must equal num_srcs * fd_frame_taps (8 resp. 16 here).
+        ("full-span ind", dict(fd_span="full")),
+        ("full-span C=7 B=2",
+         dict(fd_span="full", fd_bin_coupling=7, fd_frame_taps=2,
+              number_of_eigenvectors=16)),
     ):
         m = ApVastFD(
             block_size=1600, rir_a=rir_a, rir_b=rir_b, filter_length=100,
             modeling_delay=20, reference_index_a=7, reference_index_b=7,
-            number_of_eigenvectors=8, mu=1.0, dtype="float32",
+            number_of_eigenvectors=kw.pop("number_of_eigenvectors", 8),
+            mu=1.0, dtype="float32",
             sampling_rate=48000, perceptual=True, key=jax.random.key(0),
-            forgetting=0.97, fd_eigh=args.eigh, **kw,
+            forgetting=0.97, fd_eigh=args.eigh, **prod, **kw,
         )
         sig_a = jnp.asarray(
             rng.standard_normal(m.config.hop * args.hops), jnp.float32
