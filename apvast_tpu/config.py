@@ -258,6 +258,13 @@ class ApVastConfig:
     tracking_outer_steps: int = 2
     tracking_rebuild_period: int = 4
     tracking_warmup_hops: int = 4
+    # Carry the tracking preconditioner Li in bfloat16 (float32 configs
+    # only): Li is a PRECONDITIONER, never a correctness input — the
+    # Rayleigh-Ritz solve is on the exact pencil — so half-precision
+    # halves the (2, jl, jl) carry's HBM traffic (the scan-carry copies
+    # and the rebuild cond's select are ~20 MB each at JL=1600) and
+    # speeds the per-hop M r application matmuls.
+    tracking_li_bf16: bool = False
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
     # Pallas cyclic-Jacobi kernel, float32 production — the custom call
@@ -420,6 +427,11 @@ class ApVastConfig:
             )
         if self.tracking_rebuild_period < 1:
             raise ValueError("tracking_rebuild_period must be >= 1")
+        if self.tracking_li_bf16 and self.dtype != "float32":
+            raise ValueError(
+                "tracking_li_bf16 is a float32-production knob — it "
+                "would silently degrade a float64 parity config"
+            )
         if self.tracking_outer_steps < 1:
             raise ValueError("tracking_outer_steps must be >= 1")
         if self.lag_assembly not in ("wide", "pair", "tap", "skew"):

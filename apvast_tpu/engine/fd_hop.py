@@ -1,15 +1,21 @@
 """Frequency-domain (DFT-domain) AP-VAST — the low-cost operating mode.
 
-Positioning (PERF.md "FD-engine quality frontier"): the per-bin-
-INDEPENDENT formulation measures ~15 dB contrast; its binding
-constraint is the J-tap truncation projection's spectral leakage, and
-``fd_bin_coupling`` (leakage-aware smoothed statistics, same S x S
-solver cost) moves the measured frontier to 17.4/18.7 dB at NMSE 0.06
-(pinned: coupling 7, frame taps 2, rank 8). The time-domain engine
-remains the contrast product (25-31 dB). The FD engine's value is
-target fidelity (NMSE ~0.06 vs ~0.19 TD) at an S x S-eigh cost
-profile — use it where distortion, latency, or per-chip stream count
-dominates the contrast requirement.
+Positioning (PERF.md "FD-engine quality frontier" + round-4 speed):
+the PRODUCTION point is ``fd_span="full"`` — the full-span VAST
+solution telescopes to one batched tiny Cholesky solve per bin, no
+eigendecomposition — measured 0.39 ms/hop (RTF 42.7x) independent /
+0.73 ms/hop (22.8x) leakage-coupled on v5e with ``use_matmul_dft``:
+~3x cheaper than the TD production engine (1.18 ms/hop). Quality: the
+per-bin-INDEPENDENT formulation measures ~15-16 dB contrast; its
+binding constraint is the J-tap truncation projection's spectral
+leakage, and ``fd_bin_coupling`` (leakage-aware smoothed statistics,
+same solver cost) moves the measured frontier to 17.4/18.7 dB at
+NMSE 0.06 (pinned: coupling 7, frame taps 2). The time-domain engine
+remains the contrast product (25-31 dB). Use the FD engine where
+cost, target fidelity (NMSE ~0.06 vs ~0.19 TD), latency, or per-chip
+stream count dominates the contrast requirement; ``fd_span="all"`` is
+the variable-span analysis mode (per-bin rank 1..S*B via batched
+Hermitian GEVDs).
 
 The time-domain engine solves one JL x JL generalized eigenproblem per
 zone per hop (JL = filter_length * srcs, e.g. 800) — the reference's

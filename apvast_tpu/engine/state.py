@@ -142,8 +142,10 @@ def init_state(
             # Identity placeholder factor — hop 0 is inside the warmup
             # window, so the first hop always rebuilds from a real
             # factorization before the carry is ever used.
+            li_dtype = jnp.bfloat16 if config.tracking_li_bf16 else dtype
             gevd_minv = jnp.broadcast_to(
-                jnp.eye(config.jl, dtype=dtype), (2, config.jl, config.jl)
+                jnp.eye(config.jl, dtype=li_dtype),
+                (2, config.jl, config.jl),
             )
             gevd_lam = jnp.zeros((2, config.subspace_rank), dtype=dtype)
             gevd_hop = jnp.zeros((), dtype=jnp.int32)

@@ -70,8 +70,13 @@ class ApVast:
         self.plan = build_plan(self.config, rir_a, rir_b)
         self.state = init_state(self.config, key=key)
         cfg = self.config
+        # The carried state is donated: the hop rewrites every state
+        # buffer, and donation lets XLA reuse the allocations in place —
+        # this is the single-hop dispatch path (live serving), where
+        # allocation + copy overhead is latency on the hop budget.
         self._hop_fn = jax.jit(
-            lambda plan, state, a, b: process_hop(cfg, plan, state, a, b)
+            lambda plan, state, a, b: process_hop(cfg, plan, state, a, b),
+            donate_argnums=(1,),
         )
 
     def process_input_buffers(self, input_a, input_b):

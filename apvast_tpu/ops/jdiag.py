@@ -536,7 +536,12 @@ def jdiag_topk_tracked(
 
     li = jax.lax.cond(
         rebuild,
-        lambda _: triangular_inverse(jnp.linalg.cholesky(b_l)),
+        # The carry may be bfloat16 (config.tracking_li_bf16): Li is a
+        # preconditioner only, and the half-width carry halves the
+        # (z, n, n) scan-copy/select HBM traffic.
+        lambda _: triangular_inverse(jnp.linalg.cholesky(b_l)).astype(
+            li_carry.dtype
+        ),
         lambda _: li_carry,
         None,
     )

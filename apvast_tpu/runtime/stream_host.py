@@ -88,27 +88,43 @@ class StreamHost:
 
     # -- engine side -----------------------------------------------------
 
+    def _flush_outputs(self, out_a, out_b) -> None:
+        # np.asarray here is the only device sync: it waits for THIS
+        # hop's compute, which has been running since its (async)
+        # dispatch. Disabled zones yield None (the reference's run flags).
+        if self.run_a and out_a is not None:
+            feeds_a = np.asarray(out_a[self.span_index])  # (hop, srcs)
+            for s in range(self.num_srcs):
+                self.outputs_a[s].write(feeds_a[:, s])
+        if self.run_b and out_b is not None:
+            feeds_b = np.asarray(out_b[self.span_index])
+            for s in range(self.num_srcs):
+                self.outputs_b[s].write(feeds_b[:, s])
+        self.hops_processed += 1
+
     def process_pending(self, max_hops: int | None = None) -> int:
         """Run the engine for every complete input hop pair available;
-        returns the number of hops processed."""
+        returns the number of hops processed.
+
+        One hop is kept IN FLIGHT within the call: hop k is dispatched
+        (async) before hop k-1's outputs are fetched to the rings, so the
+        host-side ring work and input staging of hop k overlap hop k-1's
+        device compute. All outputs are flushed before returning — no
+        cross-call latency is introduced."""
         done = 0
+        pending = None
         while max_hops is None or done < max_hops:
             if self.input_a.ready == 0 or self.input_b.ready == 0:
                 break
             hop_a = self.input_a.pop()
             hop_b = self.input_b.pop()
             out_a, out_b, *_ = self.model.process_input_buffers(hop_a, hop_b)
-            # Disabled zones yield None (the reference's run flags).
-            if self.run_a and out_a is not None:
-                feeds_a = np.asarray(out_a[self.span_index])  # (hop, srcs)
-                for s in range(self.num_srcs):
-                    self.outputs_a[s].write(feeds_a[:, s])
-            if self.run_b and out_b is not None:
-                feeds_b = np.asarray(out_b[self.span_index])
-                for s in range(self.num_srcs):
-                    self.outputs_b[s].write(feeds_b[:, s])
+            if pending is not None:
+                self._flush_outputs(*pending)
+            pending = (out_a, out_b)
             done += 1
-            self.hops_processed += 1
+        if pending is not None:
+            self._flush_outputs(*pending)
         return done
 
     def start(self, poll_seconds: float = 0.001) -> None:

@@ -355,10 +355,13 @@ def measure_tpu_scale() -> int:
 
 def measure_fd() -> int:
     """Child mode: frequency-domain engine sustained RTF on the bundled
-    scene (perceptual ON, rank 8, forgetting 0.97) — the independent
-    design and the pinned leakage-coupled C=7/B=2 operating point
-    (PERF.md FD frontier). Streams partial JSON so the independent
-    number survives a kill during the coupled compile."""
+    scene (perceptual ON, forgetting 0.97). Headline ``value`` is the
+    production LOW-COST mode: fd_span='full' independent (telescoped
+    Cholesky solve, no eigh — PERF.md round-4); ``coupled_rtf`` is the
+    full-span leakage-coupled C=7/B=2 quality point; ``allranks_rtf``
+    is the rank-8 variable-span ANALYSIS mode (per-bin eigh). Streams
+    partial JSON so earlier numbers survive a kill during a later
+    compile."""
     sys.path.insert(0, _ROOT)
     import jax
     import jax.numpy as jnp
@@ -374,16 +377,21 @@ def measure_fd() -> int:
     num_hops = 128
     result = {"metric": "fd_rtf"}
     for key_name, kw in (
-        ("value", {}),
-        ("coupled_rtf", dict(fd_bin_coupling=7, fd_frame_taps=2)),
+        ("value", dict(fd_span="full")),
+        ("coupled_rtf",
+         dict(fd_span="full", fd_bin_coupling=7, fd_frame_taps=2,
+              number_of_eigenvectors=16)),
+        ("allranks_rtf", {}),
     ):
         _mark(f"COMPILE fd plan {key_name}")
         m = ApVastFD(
             block_size=1600, rir_a=rir_a, rir_b=rir_b, filter_length=100,
             modeling_delay=20, reference_index_a=7, reference_index_b=7,
-            number_of_eigenvectors=8, mu=1.0, dtype="float32",
+            number_of_eigenvectors=kw.pop("number_of_eigenvectors", 8),
+            mu=1.0, dtype="float32",
             sampling_rate=48000, perceptual=True, key=jax.random.key(0),
-            forgetting=0.97, **kw,
+            forgetting=0.97, use_matmul_dft=True, use_pallas_conv=True,
+            **kw,
         )
         _mark("COMPILED fd plan")
         sig_a = jnp.asarray(
@@ -780,6 +788,8 @@ def main() -> int:
         if fd.data is not None and fd.data.get("metric") == "fd_rtf":
             sec_fields["fd_rtf"] = fd.data.get("value")
             sec_fields["fd_per_hop_ms"] = fd.data.get("per_hop_ms")
+            if "allranks_rtf" in fd.data:
+                sec_fields["fd_allranks_rtf"] = fd.data["allranks_rtf"]
             if "coupled_rtf" in fd.data:
                 sec_fields["fd_coupled_rtf"] = fd.data["coupled_rtf"]
                 sec_fields["fd_coupled_per_hop_ms"] = fd.data.get(

@@ -143,3 +143,55 @@ def test_tracking_state_roundtrip(small_scene):
     assert int(state.gevd_hop) == 3
     leaves = jax.tree.leaves(state)
     assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+
+
+def test_tracking_li_bf16_quality_and_validation():
+    """config.tracking_li_bf16: the carried preconditioner in bfloat16
+    must (a) keep the engine finite, (b) match the f32 carry's acoustic
+    contrast (Li is a preconditioner, never a correctness input — the
+    Rayleigh-Ritz solve is on the exact pencil), and (c) be rejected on
+    float64 parity configs."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from apvast_tpu.config import ApVastConfig, GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, run_stream
+    from apvast_tpu.evaluation import acoustic_contrast_db, predict_pressure
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    base = ApVastConfig(
+        rir_length=64, num_srcs=4, num_mics=8, block_size=64,
+        filter_length=8, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=4, mu=1.0,
+        statistics_buffer_length=96, sampling_rate=8000, perceptual=False,
+        dtype="float32", gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking", tracking_warmup_hops=2,
+        tracking_rebuild_period=3,
+    )
+    ra = synthetic_rirs(64, 4, 8, seed=1)
+    rb = synthetic_rirs(64, 4, 8, seed=2)
+    rng = np.random.default_rng(5)
+    nh = 16
+    sa = jnp.asarray(rng.standard_normal(32 * nh), jnp.float32)
+    sb = jnp.asarray(rng.standard_normal(32 * nh), jnp.float32)
+    contrasts = {}
+    for bf in (False, True):
+        cfg = dataclasses.replace(base, tracking_li_bf16=bf)
+        plan = build_plan(cfg, ra, rb)
+        st = init_state(cfg, key=jax.random.key(0))
+        if bf:
+            assert st.gevd_minv.dtype == jnp.bfloat16
+        st2, o = run_stream(cfg, plan, st, sa, sb)
+        assert np.isfinite(np.asarray(o.out_a)).all()
+        f = np.asarray(o.out_a)[nh // 2 :, 0].reshape(-1, 4)
+        contrasts[bf] = float(
+            acoustic_contrast_db(
+                predict_pressure(f, ra), predict_pressure(f, rb)
+            )
+        )
+    assert abs(contrasts[True] - contrasts[False]) < 0.05, contrasts
+
+    with pytest.raises(ValueError, match="float32-production"):
+        dataclasses.replace(base, dtype="float64", tracking_li_bf16=True)

@@ -72,18 +72,23 @@ def run(hops: int = 1000) -> dict:
     # ---- phase 1: saturating feed — engine-bound hop rate -------------
     host = StreamHost(model, span_index=-1, backlog_hops=8)
     n1 = min(hops, 300)
+    # Feed 4 hops per engine call: process_pending pipelines hop k's
+    # (async) dispatch over hop k-1's output fetch, so the engine loop
+    # runs back-to-back dispatches instead of sync round trips.
     t0 = time.time()
     done = 0
     while done < n1:
-        host.push_input(
-            rng.standard_normal(hop).astype(np.float32),
-            rng.standard_normal(hop).astype(np.float32),
-        )
-        done += host.process_pending()
+        for _ in range(4):
+            host.push_input(
+                rng.standard_normal(hop).astype(np.float32),
+                rng.standard_normal(hop).astype(np.float32),
+            )
+        got = host.process_pending(max_hops=4)
+        done += got
         # Drain outputs so the output rings never back-pressure.
         for s in range(model.config.num_srcs):
-            host.pull_output("a", s, hop)
-            host.pull_output("b", s, hop)
+            host.pull_output("a", s, hop * got)
+            host.pull_output("b", s, hop * got)
     dt = time.time() - t0
     live_rtf = (done * HOP_SECONDS) / dt
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from apvast_tpu.config import ApVastConfig, production_overrides
-from apvast_tpu.engine import run_stream
+from apvast_tpu.engine.stream import run_multi_stream
 from apvast_tpu.models import MultiSceneApVast
 from apvast_tpu.utils import load_reference_rirs
 from apvast_tpu.utils.rir import correlated_rirs
@@ -34,16 +34,11 @@ def main():
         reference_index_a=7, reference_index_b=7, num_eigenvectors=50,
         mu=1.0, statistics_buffer_length=1000, sampling_rate=48000,
         perceptual=True,
-        # Blessed production config (config.production_overrides) with
-        # ONE deviation: the blocked conv kernel stays off under vmap
-        # (per-stream row-block shapes don't batch).
-        **{
-            **production_overrides(),
-            "use_pallas_conv": False,
-            # Tracking whitening's rebuild cond becomes a select under
-            # vmap (both branches every hop) — keep 'invert' here.
-            "subspace_whiten": "invert",
-        },
+        # The FULL blessed production config — round 4: the batched paths
+        # keep the tracking whitening (scalar rebuild cadence via
+        # run_multi_stream / sharded_multi_scene_hop) and the Pallas conv
+        # kernel (vmap adds a grid dim), both of which round 3 disabled.
+        **production_overrides(),
     )
     rng = np.random.default_rng(0)
     for n_scenes in counts:
@@ -94,10 +89,10 @@ def main():
 
         @jax.jit
         def run_batch(plans, states, sa, sb):
-            def one(p, st, a, b):
-                st, outs = run_stream(cfg, p, st, a, b)
-                return st, jnp.sum(jnp.abs(outs.out_a))
-            return jax.vmap(one)(plans, states, sa, sb)
+            # scan-of-vmap (engine/stream.run_multi_stream): hops outer,
+            # scenes vmapped inside, shared scalar rebuild cadence.
+            st, outs = run_multi_stream(cfg, plans, states, sa, sb)
+            return st, jnp.sum(jnp.abs(outs.out_a))
 
         st, chk = run_batch(model.plans, model.states, sig_a, sig_b)
         float(jnp.sum(chk))

@@ -53,16 +53,11 @@ def main():
 
     cases = [
         ("exact-eigh", dict(gevd_solver=GevdSolver.EIGH)),
-        ("invert", {}),
-        ("trk s1 T4 w6", dict(
-            subspace_whiten="tracking", tracking_outer_steps=1,
-            tracking_warmup_hops=6)),
-        ("trk s1 T8 w6", dict(
-            subspace_whiten="tracking", tracking_outer_steps=1,
-            tracking_rebuild_period=8, tracking_warmup_hops=6)),
-        ("trk s2 T8 w6", dict(
-            subspace_whiten="tracking", tracking_rebuild_period=8,
-            tracking_warmup_hops=6)),
+        ("trk s1 T8 w6", {}),  # the blessed production point (round 4)
+        ("trk T8 bf16", dict(tracking_li_bf16=True)),
+        ("trk T16 w6", dict(tracking_rebuild_period=16)),
+        ("trk T16 bf16", dict(
+            tracking_rebuild_period=16, tracking_li_bf16=True)),
     ]
     base = None
     for nm, extra in cases:
@@ -90,6 +85,12 @@ def main():
         t0 = time.time()
         c1, cv, sil = map(float, rj(state, sa, sb))
         dt = time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(rj(state, sa, sb))
+            best = min(best, time.time() - t0)
+        nm = f"{nm} {best / nh * 1000:6.3f}ms/hop"
         if base is None:
             base = (c1, cv)
             print(
