@@ -144,15 +144,36 @@ def main():
     PEAK_FLOPS, PEAK_BW = 197e12, 819e9
     flops = bytes_acc = None
     try:
+        # Cost is analyzed on a SINGLE-HOP graph: XLA's cost model counts
+        # a while/scan body once, so analyzing the streamed graph and
+        # dividing by nh under-counts by ~nh.
         if mode.startswith("fd"):
-            ca = fd_j.lower(state, plan, sig_a, sig_b).compile()
+            from apvast_tpu.engine.fd_hop import process_hop_fd
+
+            one = jax.jit(
+                lambda st, p, a, b: process_hop_fd(
+                    cfg, p, st, a, b, forgetting=m.forgetting
+                )
+            )
+            ca = one.lower(
+                state, plan, sig_a[: cfg.hop], sig_b[: cfg.hop]
+            ).compile()
         else:
-            ca = run_compiled.lower(state).compile()
+            from apvast_tpu.engine.hop import process_hop
+
+            # Plan as a jit ARGUMENT: closing over it embeds its complex
+            # RIR spectra as constants the tunnel cannot fetch.
+            one = jax.jit(
+                lambda p, st, a, b: process_hop(cfg, p, st, a, b)
+            )
+            ca = one.lower(
+                plan, state, sig_a[: cfg.hop], sig_b[: cfg.hop]
+            ).compile()
         cost = ca.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = cost.get("flops")
-        bytes_acc = cost.get("bytes accessed")
+        flops = cost.get("flops", 0.0) * nh  # per-hop graph -> stream
+        bytes_acc = cost.get("bytes accessed", 0.0) * nh
     except Exception as e:  # tunnel backends may not expose the analysis
         print(f"cost_analysis unavailable: {e}")
     if flops:

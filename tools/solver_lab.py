@@ -127,11 +127,29 @@ def main():
         )(d, v, q, wmat, V, qq, "invert")
         return jnp.sum(u) + jnp.sum(dd)
 
+    from apvast_tpu.ops.jdiag import jdiag_topk_tracked
+
+    lam0 = jnp.zeros((Z, K), jnp.float32)
+
+    def tracked(rebuild, li_in):
+        def fn(ops):
+            aa, bb, qq = ops
+            u, d, q, lam, lio, sil = jdiag_topk_tracked(
+                aa, bb, reg, V, qq, lam0, li_in, rebuild, 1, "jacobi", 2
+            )
+            return jnp.sum(u) + jnp.sum(d)
+
+        return fn
+
     rows = [
         ("full", full, (a, b, q0)),
         ("chol", chol, (b,)),
         ("cholinv", cholinv, (b,)),
         ("iter", iteronly, (a, li, q0)),
+        ("trk", tracked(jnp.asarray(False), li), (a, b, q0)),
+        ("trk_rb", tracked(jnp.asarray(True), li), (a, b, q0)),
+        ("trk_bf16", tracked(
+            jnp.asarray(False), li.astype(jnp.bfloat16)), (a, b, q0)),
     ]
     for blocks in (8, 32):
         rows.append(
