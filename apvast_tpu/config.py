@@ -265,6 +265,14 @@ class ApVastConfig:
     # and the rebuild cond's select are ~20 MB each at JL=1600) and
     # speeds the per-hop M r application matmuls.
     tracking_li_bf16: bool = False
+    # Matmul precision of the tracking solver's RESIDUAL path (the
+    # aq/bq/p products that steer the preconditioned basis expansion):
+    # "high" = 3-pass bf16 (exact-ish f32), "default" = single-pass
+    # bf16. The Rayleigh-Ritz matrices are always recomputed on the
+    # exact pencil at full precision, so the residual path tolerates
+    # the cheap mode — quality-gated on the 32-speaker scene
+    # (tools/tracking_gate.py).
+    tracking_residual_precision: str = "high"
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
     # Pallas cyclic-Jacobi kernel, float32 production — the custom call
@@ -432,6 +440,19 @@ class ApVastConfig:
                 "tracking_li_bf16 is a float32-production knob — it "
                 "would silently degrade a float64 parity config"
             )
+        if self.tracking_residual_precision not in ("high", "default"):
+            raise ValueError(
+                "tracking_residual_precision must be 'high' or 'default'"
+            )
+        if (
+            self.tracking_residual_precision == "default"
+            and self.dtype != "float32"
+        ):
+            raise ValueError(
+                "tracking_residual_precision='default' is a float32-"
+                "production knob — it would silently degrade a float64 "
+                "parity config"
+            )
         if self.tracking_outer_steps < 1:
             raise ValueError("tracking_outer_steps must be >= 1")
         if self.lag_assembly not in ("wide", "pair", "tap", "skew"):
@@ -572,10 +593,12 @@ def production_overrides(device: str = "tpu") -> dict:
         # -0.15 dB / s2 +0.02 dB where the round-3 'invert' production
         # solver reads -4.6 dB on the same horizon (its cold-start power
         # iteration converges far slower than exact Rayleigh-Ritz);
-        # engine hop 3.49 -> 2.75 ms at 32 speakers. Under a vmapped
-        # multi-scene batch the rebuild cond becomes a select (both
-        # branches execute) — multi-stream serving keeps 'invert'
-        # (tools/multi_stream.py, bench streams8).
+        # engine hop 3.49 -> 2.75 ms at 32 speakers. Batched serving
+        # keeps the tracking solver too (round 4): run_multi_stream /
+        # sharded_multi_scene_hop compute the rebuild cadence OUTSIDE
+        # vmap as an unbatched scalar, so the cond survives batching
+        # (a batched predicate would lower to a select that pays the
+        # (jl, jl) factorization every hop for every stream).
         subspace_whiten="tracking" if on_tpu else "invert",
         tracking_outer_steps=1,
         tracking_rebuild_period=8,

@@ -505,6 +505,7 @@ def process_hop(
             config.small_eigh,
             config.jacobi_sweeps,
             interpret=(jax.default_backend() == "cpu"),
+            residual_precision=config.tracking_residual_precision,
         )
         gevd_hop = gevd_hop + 1
     elif config.gevd_solver is GevdSolver.SUBSPACE and (

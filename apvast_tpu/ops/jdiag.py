@@ -479,6 +479,7 @@ def jdiag_topk_tracked(
     small_eigh: str = "lapack",
     jacobi_sweeps: int = 4,
     interpret: bool = False,
+    residual_precision: str = "high",
 ):
     """Top-k GEVD by inner-outer subspace TRACKING — no per-hop (n, n)
     factorization.
@@ -534,17 +535,21 @@ def jdiag_topk_tracked(
     hi = jax.lax.Precision.HIGH
     hst = jax.lax.Precision.HIGHEST
 
-    li = jax.lax.cond(
-        rebuild,
+    def _rebuild_li(_):
         # The carry may be bfloat16 (config.tracking_li_bf16): Li is a
         # preconditioner only, and the half-width carry halves the
         # (z, n, n) scan-copy/select HBM traffic.
-        lambda _: triangular_inverse(jnp.linalg.cholesky(b_l)).astype(
+        fresh = triangular_inverse(jnp.linalg.cholesky(b_l)).astype(
             li_carry.dtype
-        ),
-        lambda _: li_carry,
-        None,
-    )
+        )
+        # Self-heal INSIDE the branch: a non-finite fresh factor falls
+        # back to the carried one. Healing outside the cond would pay an
+        # isfinite + select over the (z, n, n) carry EVERY hop (~250 us
+        # of pure HBM traffic at JL=1600) for a value that is untouched
+        # on non-rebuild hops.
+        return jnp.where(jnp.isfinite(fresh), fresh, li_carry)
+
+    li = jax.lax.cond(rebuild, _rebuild_li, lambda _: li_carry, None)
 
     def small_solve(h):
         """Eigendecomposition of the (z, k, k) symmetric RR matrix."""
@@ -554,14 +559,22 @@ def jdiag_topk_tracked(
             return jacobi_eigh(h, sweeps=jacobi_sweeps, interpret=interpret)
         return jnp.linalg.eigh(h)
 
+    # The residual path (aq/bq/p) only STEERS the preconditioned basis
+    # expansion — the Rayleigh-Ritz matrices below are recomputed on the
+    # exact pencil at full precision — so it tolerates single-pass bf16
+    # matmuls (residual_precision="default"), saving 2/3 of the 3-pass
+    # HIGH cost on the four (n, n) x (n, k) products.
+    rp = jax.lax.Precision.HIGH if residual_precision == "high" else (
+        jax.lax.Precision.DEFAULT
+    )
     q, lam = q_init, lam_init
     for _ in range(outer_steps):
-        aq = jnp.matmul(A, q, precision=hi)
-        bq = jnp.matmul(b_l, q, precision=hi)
+        aq = jnp.matmul(A, q, precision=rp)
+        bq = jnp.matmul(b_l, q, precision=rp)
         res = aq - bq * lam[:, None, :]
         p = jnp.matmul(
-            li.swapaxes(-1, -2), jnp.matmul(li, res, precision=hi),
-            precision=hi,
+            li.swapaxes(-1, -2), jnp.matmul(li, res, precision=rp),
+            precision=rp,
         )
         s = jax.vmap(_cholqr2)(jnp.concatenate([q, p], axis=-1))
         # Exact-pencil Rayleigh-Ritz matrices on the doubled basis.
@@ -618,10 +631,11 @@ def jdiag_topk_tracked(
     u = jnp.where(bad_u, 0, u)
     dd = jnp.where(bad_d, 0, dd)
     # Non-finite carries self-heal: fall back to the incoming values so
-    # one degenerate hop cannot poison the tracker permanently.
+    # one degenerate hop cannot poison the tracker permanently. (The Li
+    # carry is healed inside the rebuild branch above — on every other
+    # hop it is passed through untouched.)
     q = jnp.where(jnp.isfinite(q), q, q_init)
     lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
-    li = jnp.where(jnp.isfinite(li), li, li_carry)
     return u, dd, q, lam, li, silenced
 
 

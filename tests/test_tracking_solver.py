@@ -195,3 +195,27 @@ def test_tracking_li_bf16_quality_and_validation():
 
     with pytest.raises(ValueError, match="float32-production"):
         dataclasses.replace(base, dtype="float64", tracking_li_bf16=True)
+
+
+def test_tracking_residual_precision_validation():
+    import dataclasses
+
+    import pytest
+
+    from apvast_tpu.config import ApVastConfig, GevdSolver
+
+    base = ApVastConfig(
+        rir_length=64, num_srcs=4, num_mics=8, block_size=64,
+        filter_length=8, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=4, mu=1.0,
+        statistics_buffer_length=96, sampling_rate=8000,
+        perceptual=False, dtype="float32",
+        gevd_solver=GevdSolver.SUBSPACE, subspace_whiten="tracking",
+    )
+    dataclasses.replace(base, tracking_residual_precision="default")
+    with pytest.raises(ValueError, match="residual_precision"):
+        dataclasses.replace(base, tracking_residual_precision="fast")
+    with pytest.raises(ValueError, match="float32"):
+        dataclasses.replace(
+            base, dtype="float64", tracking_residual_precision="default"
+        )

@@ -54,10 +54,12 @@ def main():
     cases = [
         ("exact-eigh", dict(gevd_solver=GevdSolver.EIGH)),
         ("trk s1 T8 w6", {}),  # the blessed production point (round 4)
-        ("trk T8 bf16", dict(tracking_li_bf16=True)),
-        ("trk T16 w6", dict(tracking_rebuild_period=16)),
-        ("trk T16 bf16", dict(
-            tracking_rebuild_period=16, tracking_li_bf16=True)),
+        ("trk T16 rdef", dict(
+            tracking_rebuild_period=16,
+            tracking_residual_precision="default")),
+        ("trk T16 rdef bf16", dict(
+            tracking_rebuild_period=16, tracking_li_bf16=True,
+            tracking_residual_precision="default")),
     ]
     base = None
     for nm, extra in cases:
