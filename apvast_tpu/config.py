@@ -273,6 +273,13 @@ class ApVastConfig:
     # the cheap mode — quality-gated on the 32-speaker scene
     # (tools/tracking_gate.py).
     tracking_residual_precision: str = "high"
+    # Rayleigh-Ritz basis handling: "cholqr2" orthonormalizes the
+    # doubled basis [q, p]; "direct" Rayleigh-Ritzes the raw basis
+    # (the generalized solve Cholesky-whitens bbar, so orthonormality
+    # is unnecessary) — reuses aq/bq as the first k columns of the RR
+    # products, saving the CholeskyQR2 pass and 1/3 of the solver's
+    # (n, n) x (n, k) matmul budget. Quality-gated at 32 speakers.
+    tracking_rr_basis: str = "cholqr2"
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
     # Pallas cyclic-Jacobi kernel, float32 production — the custom call
@@ -439,6 +446,10 @@ class ApVastConfig:
             raise ValueError(
                 "tracking_li_bf16 is a float32-production knob — it "
                 "would silently degrade a float64 parity config"
+            )
+        if self.tracking_rr_basis not in ("cholqr2", "direct"):
+            raise ValueError(
+                "tracking_rr_basis must be 'cholqr2' or 'direct'"
             )
         if self.tracking_residual_precision not in ("high", "default"):
             raise ValueError(

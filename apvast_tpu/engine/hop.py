@@ -506,6 +506,7 @@ def process_hop(
             config.jacobi_sweeps,
             interpret=(jax.default_backend() == "cpu"),
             residual_precision=config.tracking_residual_precision,
+            rr_basis=config.tracking_rr_basis,
         )
         gevd_hop = gevd_hop + 1
     elif config.gevd_solver is GevdSolver.SUBSPACE and (

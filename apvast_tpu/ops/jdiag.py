@@ -480,6 +480,7 @@ def jdiag_topk_tracked(
     jacobi_sweeps: int = 4,
     interpret: bool = False,
     residual_precision: str = "high",
+    rr_basis: str = "cholqr2",
 ):
     """Top-k GEVD by inner-outer subspace TRACKING — no per-hop (n, n)
     factorization.
@@ -576,10 +577,26 @@ def jdiag_topk_tracked(
             li.swapaxes(-1, -2), jnp.matmul(li, res, precision=rp),
             precision=rp,
         )
-        s = jax.vmap(_cholqr2)(jnp.concatenate([q, p], axis=-1))
-        # Exact-pencil Rayleigh-Ritz matrices on the doubled basis.
-        a_s = jnp.matmul(A, s, precision=hi)
-        b_s = jnp.matmul(b_l, s, precision=hi)
+        if rr_basis == "direct":
+            # Rayleigh-Ritz on the RAW doubled basis [q, p]: the
+            # generalized RR solve below Cholesky-whitens bbar, so the
+            # basis need not be orthonormalized — and reusing aq/bq as
+            # the first k columns of A s / B s saves the CholeskyQR2
+            # pass AND turns the two (n, n) x (n, 2k) products into
+            # (n, n) x (n, k) ones (1/3 of the big-matmul budget).
+            # Column-scale p so bbar stays balanced.
+            pn = jnp.sqrt(jnp.sum(p * p, axis=-2, keepdims=True))
+            p = p / (pn + jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+            ap = jnp.matmul(A, p, precision=hi)
+            bp = jnp.matmul(b_l, p, precision=hi)
+            s = jnp.concatenate([q, p], axis=-1)
+            a_s = jnp.concatenate([aq, ap], axis=-1)
+            b_s = jnp.concatenate([bq, bp], axis=-1)
+        else:
+            s = jax.vmap(_cholqr2)(jnp.concatenate([q, p], axis=-1))
+            # Exact-pencil Rayleigh-Ritz matrices on the doubled basis.
+            a_s = jnp.matmul(A, s, precision=hi)
+            b_s = jnp.matmul(b_l, s, precision=hi)
         st = s.swapaxes(-1, -2)
         abar = jnp.matmul(st, a_s, precision=hst)
         bbar = jnp.matmul(st, b_s, precision=hst)

@@ -219,3 +219,47 @@ def test_tracking_residual_precision_validation():
         dataclasses.replace(
             base, dtype="float64", tracking_residual_precision="default"
         )
+
+
+def test_tracking_direct_rr_basis_quality():
+    """tracking_rr_basis='direct' (Rayleigh-Ritz on the raw [q, p]
+    basis, reusing aq/bq — no CholeskyQR2) must match the orthonormalized
+    basis's engine contrast within 0.25 dB on the small scene."""
+    import dataclasses
+
+    import numpy as np
+
+    from apvast_tpu.config import ApVastConfig, GevdSolver
+    from apvast_tpu.engine import build_plan, init_state, run_stream
+    from apvast_tpu.evaluation import acoustic_contrast_db, predict_pressure
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    base = ApVastConfig(
+        rir_length=64, num_srcs=4, num_mics=8, block_size=64,
+        filter_length=8, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=4, mu=1.0,
+        statistics_buffer_length=96, sampling_rate=8000, perceptual=False,
+        dtype="float32", gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking", tracking_warmup_hops=2,
+        tracking_rebuild_period=3,
+    )
+    ra = synthetic_rirs(64, 4, 8, seed=1)
+    rb = synthetic_rirs(64, 4, 8, seed=2)
+    rng = np.random.default_rng(5)
+    nh = 16
+    sa = jnp.asarray(rng.standard_normal(32 * nh), jnp.float32)
+    sb = jnp.asarray(rng.standard_normal(32 * nh), jnp.float32)
+    cons = {}
+    for basis in ("cholqr2", "direct"):
+        cfg = dataclasses.replace(base, tracking_rr_basis=basis)
+        plan = build_plan(cfg, ra, rb)
+        st = init_state(cfg, key=jax.random.key(0))
+        _, o = run_stream(cfg, plan, st, sa, sb)
+        assert np.isfinite(np.asarray(o.out_a)).all()
+        f = np.asarray(o.out_a)[nh // 2 :, 0].reshape(-1, 4)
+        cons[basis] = float(
+            acoustic_contrast_db(
+                predict_pressure(f, ra), predict_pressure(f, rb)
+            )
+        )
+    assert abs(cons["direct"] - cons["cholqr2"]) < 0.25, cons

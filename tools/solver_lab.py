@@ -131,11 +131,12 @@ def main():
 
     lam0 = jnp.zeros((Z, K), jnp.float32)
 
-    def tracked(rebuild, li_in):
+    def tracked(rebuild, li_in, basis="cholqr2"):
         def fn(ops):
             aa, bb, qq = ops
             u, d, q, lam, lio, sil = jdiag_topk_tracked(
-                aa, bb, reg, V, qq, lam0, li_in, rebuild, 1, "jacobi", 2
+                aa, bb, reg, V, qq, lam0, li_in, rebuild, 1, "jacobi", 2,
+                rr_basis=basis,
             )
             return jnp.sum(u) + jnp.sum(d)
 
@@ -148,6 +149,8 @@ def main():
         ("iter", iteronly, (a, li, q0)),
         ("trk", tracked(jnp.asarray(False), li), (a, b, q0)),
         ("trk_rb", tracked(jnp.asarray(True), li), (a, b, q0)),
+        ("trk_direct", tracked(
+            jnp.asarray(False), li, "direct"), (a, b, q0)),
         ("trk_bf16", tracked(
             jnp.asarray(False), li.astype(jnp.bfloat16)), (a, b, q0)),
     ]

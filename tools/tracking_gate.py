@@ -54,12 +54,9 @@ def main():
     cases = [
         ("exact-eigh", dict(gevd_solver=GevdSolver.EIGH)),
         ("trk s1 T8 w6", {}),  # the blessed production point (round 4)
-        ("trk T16 rdef", dict(
-            tracking_rebuild_period=16,
-            tracking_residual_precision="default")),
-        ("trk T16 rdef bf16", dict(
-            tracking_rebuild_period=16, tracking_li_bf16=True,
-            tracking_residual_precision="default")),
+        ("trk T8 direct", dict(tracking_rr_basis="direct")),
+        ("trk T16 direct", dict(
+            tracking_rebuild_period=16, tracking_rr_basis="direct")),
     ]
     base = None
     for nm, extra in cases:
