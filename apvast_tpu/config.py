@@ -612,8 +612,14 @@ def production_overrides(device: str = "tpu") -> dict:
         # (jl, jl) factorization every hop for every stream).
         subspace_whiten="tracking" if on_tpu else "invert",
         tracking_outer_steps=1,
-        tracking_rebuild_period=8,
+        # T16 + direct RR basis: gated at 32 speakers vs exact eigh
+        # (tools/tracking_gate.py, 24 hops): c1 -0.058 / cV -0.022 dB —
+        # the tightest deltas of any tracking variant, with the
+        # CholeskyQR2 pass and 1/3 of the solver's big matmuls removed
+        # and half the rebuild cadence.
+        tracking_rebuild_period=16,
         tracking_warmup_hops=6,
+        tracking_rr_basis="direct",
         # Statistics: skew-assembly lag engine (round 3) — the Toeplitz
         # structure cuts the covariance FLOPs ~J-fold and the fused
         # Pallas assembly removes the relayout passes. Measured
