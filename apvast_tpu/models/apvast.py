@@ -74,6 +74,7 @@ class ApVast:
         # buffer, and donation lets XLA reuse the allocations in place —
         # this is the single-hop dispatch path (live serving), where
         # allocation + copy overhead is latency on the hop budget.
+        self._window_jits: dict = {}  # (n_hops, span) -> serving drain
         self._hop_fn = jax.jit(
             lambda plan, state, a, b: process_hop(cfg, plan, state, a, b),
             donate_argnums=(1,),
@@ -121,6 +122,48 @@ class ApVast:
             stitch_target(outs.out_a_t),
             stitch_target(outs.out_b_t),
         )
+
+    def process_hops_span(self, window_a, window_b, span_index: int = -1):
+        """Serving drain: n whole hops in ONE dispatch, returning only the
+        selected span's stitched loudspeaker feeds.
+
+        A live host on an RPC-attached accelerator pays per ROUND TRIP,
+        not per byte (~26 ms through the axon tunnel, vs ~1 ms of device
+        compute per north-star hop) — so the backlog drain must be one
+        scanned dispatch with the span selection INSIDE the jit and only
+        the (n * hop, srcs) feeds fetched. Used by
+        ``runtime.stream_host.StreamHost(batch_hops > 1)``.
+
+        Returns (feeds_a, feeds_b), each (n * hop, srcs) or None for a
+        disabled zone. Bit-exact with n calls of
+        ``process_input_buffers`` (scan == loop, tests/test_runtime.py).
+        """
+        window_a = jnp.asarray(window_a).reshape(-1)
+        window_b = jnp.asarray(window_b).reshape(-1)
+        hop = self.config.hop
+        n = window_a.shape[0] // hop
+        if n * hop != window_a.shape[0] or window_a.shape != window_b.shape:
+            raise ValueError("windows must be equal whole-hop lengths")
+        key = (n, span_index)
+        fn = self._window_jits.get(key)
+        if fn is None:
+            cfg, plan = self.config, self.plan
+
+            def run(plan, state, wa, wb):
+                state, outs = run_stream(cfg, plan, state, wa, wb)
+
+                def feeds(x):  # (n, v, hop, s) -> (n*hop, s), one span
+                    if x is None:
+                        return None
+                    sel = x[:, span_index]
+                    return sel.reshape(-1, sel.shape[-1])
+
+                return state, feeds(outs.out_a), feeds(outs.out_b)
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._window_jits[key] = fn
+        self.state, fa, fb = fn(self.plan, self.state, window_a, window_b)
+        return fa, fb
 
     def reset(self, key: jax.Array | None = None) -> None:
         self.state = init_state(self.config, key=key)

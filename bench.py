@@ -459,7 +459,7 @@ def measure_streams8() -> int:
     _enable_compile_cache(jax)
 
     from apvast_tpu.config import ApVastConfig
-    from apvast_tpu.engine import run_stream
+    from apvast_tpu.engine.stream import run_multi_stream
     from apvast_tpu.models import MultiSceneApVast
     from apvast_tpu.utils import load_reference_rirs
     from apvast_tpu.utils.rir import correlated_rirs
@@ -471,15 +471,10 @@ def measure_streams8() -> int:
         reference_index_a=7, reference_index_b=7, num_eigenvectors=50,
         mu=1.0, statistics_buffer_length=1000, sampling_rate=48000,
         perceptual=True,
-        **{
-            **_production_overrides("tpu"),
-            # Blocked conv kernel off under vmap (per-stream row-block
-            # shapes don't batch); tracking whitening off because the
-            # rebuild cond becomes a select under vmap (both branches
-            # execute every hop) — same deviations as tools/multi_stream.py.
-            "use_pallas_conv": False,
-            "subspace_whiten": "invert",
-        },
+        # The FULL production config (round 4): run_multi_stream keeps
+        # the tracking whitening's rebuild cond scalar (scan-of-vmap)
+        # and the Pallas conv kernel batches under vmap.
+        **_production_overrides("tpu"),
     )
     _mark("COMPILE plans")
     pairs = [(rir_a, rir_b)]
@@ -498,10 +493,8 @@ def measure_streams8() -> int:
 
     @jax.jit
     def run_batch(plans, states, sa, sb):
-        def one(p, st, a, b):
-            st, outs = run_stream(cfg, p, st, a, b)
-            return st, jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
-        return jax.vmap(one)(plans, states, sa, sb)
+        st, outs = run_multi_stream(cfg, plans, states, sa, sb)
+        return st, jnp.sum(jnp.abs(outs.out_a).astype(jnp.float32))
 
     _mark("COMPILE stream batch")
     st, chk = run_batch(model.plans, model.states, sig_a, sig_b)

@@ -221,3 +221,46 @@ def test_pull_output_zone_validation():
     for bad in ("A", "zone_a", ""):
         with pytest.raises(ValueError, match="zone"):
             host.pull_output(bad, 0, 4)
+
+
+def test_stream_host_batched_drain_matches_per_hop(rng):
+    """StreamHost(batch_hops=N): the one-dispatch backlog drain
+    (model.process_hops_span) must produce EXACTLY the per-hop loop's
+    output rings — the serving mode an RPC-attached accelerator needs
+    (the dispatch round trip, ~26 ms on the axon tunnel, dominates the
+    16.7 ms hop budget; batching N hops amortizes it N-fold at N hops
+    of added latency)."""
+    rir_a = synthetic_rirs(60, 3, 2, seed=41)
+    rir_b = synthetic_rirs(60, 3, 2, seed=42)
+
+    def build():
+        return ApVast(
+            block_size=128, rir_a=rir_a, rir_b=rir_b, filter_length=12,
+            modeling_delay=4, reference_index_a=0, reference_index_b=0,
+            number_of_eigenvectors=3, mu=1.0, statistics_buffer_length=96,
+            sampling_rate=8000, perceptual=False, key=jax.random.key(0),
+            dtype="float32",
+        )
+
+    hop = build().config.hop
+    sig_a = rng.standard_normal(hop * 6).astype(np.float32)
+    sig_b = rng.standard_normal(hop * 6).astype(np.float32)
+    outs = {}
+    for batch in (1, 4):
+        host = StreamHost(
+            build(), span_index=-1, backlog_hops=8, batch_hops=batch
+        )
+        host.push_input(sig_a, sig_b)
+        assert host.process_pending() == 6
+        outs[batch] = np.stack(
+            [host.pull_output("a", s, hop * 6) for s in range(2)]
+        )
+    np.testing.assert_array_equal(outs[4], outs[1])
+
+    import pytest
+
+    class NoWindow:
+        config = build().config
+
+    with pytest.raises(ValueError, match="process_hops_span"):
+        StreamHost(NoWindow(), batch_hops=4)

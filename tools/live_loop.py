@@ -70,20 +70,24 @@ def run(hops: int = 1000) -> dict:
     np.asarray(out[0])
 
     # ---- phase 1: saturating feed — engine-bound hop rate -------------
-    host = StreamHost(model, span_index=-1, backlog_hops=8)
-    n1 = min(hops, 300)
-    # Feed 4 hops per engine call: process_pending pipelines hop k's
-    # (async) dispatch over hop k-1's output fetch, so the engine loop
-    # runs back-to-back dispatches instead of sync round trips.
+    # Batched drain (StreamHost batch_hops): the axon tunnel costs
+    # ~26 ms per dispatch ROUND TRIP regardless of payload (measured:
+    # sync single-hop 26 ms; client-side pipelining does not help, the
+    # tunnel serializes), so the live host drains its backlog in
+    # B-hop scanned dispatches — the deployment trades B hops of output
+    # latency for real-time throughput.
+    batch = 16
+    host = StreamHost(model, span_index=-1, backlog_hops=batch, batch_hops=batch)
+    n1 = min(hops, 320)
     t0 = time.time()
     done = 0
     while done < n1:
-        for _ in range(4):
+        for _ in range(batch):
             host.push_input(
                 rng.standard_normal(hop).astype(np.float32),
                 rng.standard_normal(hop).astype(np.float32),
             )
-        got = host.process_pending(max_hops=4)
+        got = host.process_pending(max_hops=batch)
         done += got
         # Drain outputs so the output rings never back-pressure.
         for s in range(model.config.num_srcs):
@@ -93,7 +97,11 @@ def run(hops: int = 1000) -> dict:
     live_rtf = (done * HOP_SECONDS) / dt
 
     # ---- phase 2: real-time-paced feed, engine on its own thread ------
-    host2 = StreamHost(model, span_index=-1, backlog_hops=8)
+    # batch 8 = 133 ms added output latency, drained in one ~30-40 ms
+    # dispatch — the real-time-compliant operating point on this link.
+    host2 = StreamHost(
+        model, span_index=-1, backlog_hops=24, batch_hops=8
+    )
     host2.start(poll_seconds=0.0005)
     deadline = time.time()
     for _ in range(hops):
