@@ -70,14 +70,15 @@ class ApVast:
         self.plan = build_plan(self.config, rir_a, rir_b)
         self.state = init_state(self.config, key=key)
         cfg = self.config
-        # The carried state is donated: the hop rewrites every state
-        # buffer, and donation lets XLA reuse the allocations in place —
-        # this is the single-hop dispatch path (live serving), where
-        # allocation + copy overhead is latency on the hop budget.
+        # NOT donated: measured on the axon tunnel, donating the carried
+        # state changes single-hop dispatch by nothing (26.06 vs
+        # 26.08 ms — the cost is the RPC round trip), and alternating
+        # donating executables over the same state buffers triggers
+        # TPU-backend InvalidArgument on output fetches (observed with
+        # the hop fn + two window drains sharing self.state).
         self._window_jits: dict = {}  # (n_hops, span) -> serving drain
         self._hop_fn = jax.jit(
-            lambda plan, state, a, b: process_hop(cfg, plan, state, a, b),
-            donate_argnums=(1,),
+            lambda plan, state, a, b: process_hop(cfg, plan, state, a, b)
         )
 
     def process_input_buffers(self, input_a, input_b):
@@ -123,20 +124,31 @@ class ApVast:
             stitch_target(outs.out_b_t),
         )
 
-    def process_hops_span(self, window_a, window_b, span_index: int = -1):
+    def process_hops_span(
+        self,
+        window_a,
+        window_b,
+        span_index: int = -1,
+        pcm: bool = False,
+    ):
         """Serving drain: n whole hops in ONE dispatch, returning only the
         selected span's stitched loudspeaker feeds.
 
-        A live host on an RPC-attached accelerator pays per ROUND TRIP,
-        not per byte (~26 ms through the axon tunnel, vs ~1 ms of device
-        compute per north-star hop) — so the backlog drain must be one
-        scanned dispatch with the span selection INSIDE the jit and only
-        the (n * hop, srcs) feeds fetched. Used by
-        ``runtime.stream_host.StreamHost(batch_hops > 1)``.
+        A live host on an RPC-attached accelerator pays per ROUND TRIP
+        and per BYTE (~26 ms + ~16 MB/s through the axon tunnel, vs
+        ~1 ms of device compute per north-star hop) — so the backlog
+        drain must be one scanned dispatch with the span selection
+        INSIDE the jit and only the (n * hop, srcs) feeds fetched. Used
+        by ``runtime.stream_host.StreamHost(batch_hops > 1)``.
 
-        Returns (feeds_a, feeds_b), each (n * hop, srcs) or None for a
-        disabled zone. Bit-exact with n calls of
-        ``process_input_buffers`` (scan == loop, tests/test_runtime.py).
+        ``pcm=True`` additionally quantizes the feeds to BLOCK-SCALED
+        int16 on device (one shared scale per batch, ~90 dB SNR relative
+        to the batch peak — standard PCM practice) and dequantizes on
+        the host, halving the fetch bytes.
+
+        Returns (feeds_a, feeds_b), each (n * hop, srcs) float32 or None
+        for a disabled zone. With ``pcm=False`` bit-exact with n calls
+        of ``process_input_buffers`` (scan == loop, tests/test_runtime.py).
         """
         window_a = jnp.asarray(window_a).reshape(-1)
         window_b = jnp.asarray(window_b).reshape(-1)
@@ -144,7 +156,7 @@ class ApVast:
         n = window_a.shape[0] // hop
         if n * hop != window_a.shape[0] or window_a.shape != window_b.shape:
             raise ValueError("windows must be equal whole-hop lengths")
-        key = (n, span_index)
+        key = (n, span_index, pcm)
         fn = self._window_jits.get(key)
         if fn is None:
             cfg, plan = self.config, self.plan
@@ -158,11 +170,30 @@ class ApVast:
                     sel = x[:, span_index]
                     return sel.reshape(-1, sel.shape[-1])
 
-                return state, feeds(outs.out_a), feeds(outs.out_b)
+                fa, fb = feeds(outs.out_a), feeds(outs.out_b)
+                if not pcm:
+                    return state, fa, fb, None
+                peak = jnp.asarray(0.0, jnp.float32)
+                for f in (fa, fb):
+                    if f is not None:
+                        peak = jnp.maximum(peak, jnp.max(jnp.abs(f)))
+                scale = 32766.0 / jnp.maximum(peak, jnp.finfo(jnp.float32).tiny)
+                quant = lambda f: None if f is None else jnp.round(
+                    f * scale
+                ).astype(jnp.int16)
+                return state, quant(fa), quant(fb), scale
 
-            fn = jax.jit(run, donate_argnums=(1,))
+            fn = jax.jit(run)  # no donation — see _hop_fn note
             self._window_jits[key] = fn
-        self.state, fa, fb = fn(self.plan, self.state, window_a, window_b)
+        self.state, fa, fb, scale = fn(
+            self.plan, self.state, window_a, window_b
+        )
+        if pcm:
+            inv = 1.0 / float(scale)
+            deq = lambda f: None if f is None else (
+                np.asarray(f).astype(np.float32) * inv
+            )
+            return deq(fa), deq(fb)
         return fa, fb
 
     def reset(self, key: jax.Array | None = None) -> None:

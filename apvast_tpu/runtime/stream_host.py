@@ -38,6 +38,7 @@ class StreamHost:
         span_index: int = -1,
         backlog_hops: int = 8,
         batch_hops: int = 1,
+        pcm_feeds: bool = False,
     ):
         """``batch_hops > 1``: when at least that many hop pairs are
         queued, drain them in ONE device dispatch via the model's
@@ -45,10 +46,13 @@ class StreamHost:
         RPC-attached accelerator the dispatch round trip dominates the
         hop budget (~26 ms through the axon tunnel vs ~1 ms device
         compute), so real-time serving NEEDS the batched drain; the
-        price is up to ``batch_hops`` hops of added output latency."""
+        price is up to ``batch_hops`` hops of added output latency.
+        ``pcm_feeds=True`` fetches block-scaled int16 PCM feeds — half
+        the bytes on a bandwidth-limited link, ~90 dB SNR."""
         self.model = model
         self.span_index = span_index
         self.batch_hops = int(batch_hops)
+        self.pcm_feeds = bool(pcm_feeds)
         if self.batch_hops > 1 and not hasattr(model, "process_hops_span"):
             raise ValueError(
                 "batch_hops > 1 requires a model with process_hops_span"
@@ -146,7 +150,7 @@ class StreamHost:
                     self._flush_outputs(*pending)
                     pending = None
                 fa, fb = self.model.process_hops_span(
-                    wa, wb, span_index=self.span_index
+                    wa, wb, span_index=self.span_index, pcm=self.pcm_feeds
                 )
                 if self.run_a and fa is not None:
                     fa = np.asarray(fa)

@@ -77,7 +77,10 @@ def run(hops: int = 1000) -> dict:
     # B-hop scanned dispatches — the deployment trades B hops of output
     # latency for real-time throughput.
     batch = 16
-    host = StreamHost(model, span_index=-1, backlog_hops=batch, batch_hops=batch)
+    host = StreamHost(
+        model, span_index=-1, backlog_hops=batch, batch_hops=batch,
+        pcm_feeds=True,
+    )
     n1 = min(hops, 320)
     t0 = time.time()
     done = 0
@@ -100,7 +103,8 @@ def run(hops: int = 1000) -> dict:
     # batch 8 = 133 ms added output latency, drained in one ~30-40 ms
     # dispatch — the real-time-compliant operating point on this link.
     host2 = StreamHost(
-        model, span_index=-1, backlog_hops=24, batch_hops=8
+        model, span_index=-1, backlog_hops=24, batch_hops=8,
+        pcm_feeds=True,
     )
     host2.start(poll_seconds=0.0005)
     deadline = time.time()
