@@ -150,19 +150,26 @@ class ApVast:
         for a disabled zone. With ``pcm=False`` bit-exact with n calls
         of ``process_input_buffers`` (scan == loop, tests/test_runtime.py).
         """
-        window_a = jnp.asarray(window_a).reshape(-1)
-        window_b = jnp.asarray(window_b).reshape(-1)
+        window_a = np.asarray(window_a, dtype=self.config.dtype).reshape(-1)
+        window_b = np.asarray(window_b, dtype=self.config.dtype).reshape(-1)
         hop = self.config.hop
         n = window_a.shape[0] // hop
         if n * hop != window_a.shape[0] or window_a.shape != window_b.shape:
             raise ValueError("windows must be equal whole-hop lengths")
         key = (n, span_index, pcm)
         fn = self._window_jits.get(key)
+        cfg = self.config
+        zones = int(cfg.run_a) + int(cfg.run_b)
         if fn is None:
-            cfg, plan = self.config, self.plan
+            plan = self.plan
 
-            def run(plan, state, wa, wb):
-                state, outs = run_stream(cfg, plan, state, wa, wb)
+            # RPC discipline: every host<->device transfer on the tunnel
+            # costs a ~26 ms round trip REGARDLESS of size, so the drain
+            # is exactly one upload (the stacked windows) and one fetch
+            # (both zones' feeds packed side by side; the PCM block
+            # scale rides bitcast into the first packed row).
+            def run(plan, state, w):
+                state, outs = run_stream(cfg, plan, state, w[0], w[1])
 
                 def feeds(x):  # (n, v, hop, s) -> (n*hop, s), one span
                     if x is None:
@@ -170,30 +177,36 @@ class ApVast:
                     sel = x[:, span_index]
                     return sel.reshape(-1, sel.shape[-1])
 
-                fa, fb = feeds(outs.out_a), feeds(outs.out_b)
+                parts = [
+                    f
+                    for f in (feeds(outs.out_a), feeds(outs.out_b))
+                    if f is not None
+                ]
+                packed = jnp.concatenate(parts, axis=1)  # (n*hop, z*s)
                 if not pcm:
-                    return state, fa, fb, None
-                peak = jnp.asarray(0.0, jnp.float32)
-                for f in (fa, fb):
-                    if f is not None:
-                        peak = jnp.maximum(peak, jnp.max(jnp.abs(f)))
-                scale = 32766.0 / jnp.maximum(peak, jnp.finfo(jnp.float32).tiny)
-                quant = lambda f: None if f is None else jnp.round(
-                    f * scale
-                ).astype(jnp.int16)
-                return state, quant(fa), quant(fb), scale
+                    return state, packed
+                peak = jnp.max(jnp.abs(packed))
+                scale = 32766.0 / jnp.maximum(
+                    peak, jnp.finfo(jnp.float32).tiny
+                )
+                q = jnp.round(packed * scale).astype(jnp.int16)
+                srow = jax.lax.bitcast_convert_type(
+                    jnp.float32(scale)[None], jnp.int16
+                ).reshape(1, 2)
+                srow = jnp.pad(srow, ((0, 0), (0, q.shape[1] - 2)))
+                return state, jnp.concatenate([srow, q], axis=0)
 
             fn = jax.jit(run)  # no donation — see _hop_fn note
             self._window_jits[key] = fn
-        self.state, fa, fb, scale = fn(
-            self.plan, self.state, window_a, window_b
-        )
+        w = jnp.asarray(np.stack([window_a, window_b]))
+        self.state, packed = fn(self.plan, self.state, w)
+        arr = np.asarray(packed)
         if pcm:
-            inv = 1.0 / float(scale)
-            deq = lambda f: None if f is None else (
-                np.asarray(f).astype(np.float32) * inv
-            )
-            return deq(fa), deq(fb)
+            scale = np.frombuffer(arr[0, :2].tobytes(), np.float32)[0]
+            arr = arr[1:].astype(np.float32) * (1.0 / scale)
+        s = cfg.num_srcs
+        fa = arr[:, :s] if cfg.run_a else None
+        fb = arr[:, s if cfg.run_a else 0 :][:, :s] if cfg.run_b else None
         return fa, fb
 
     def reset(self, key: jax.Array | None = None) -> None:

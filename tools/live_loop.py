@@ -62,12 +62,17 @@ def run(hops: int = 1000) -> dict:
     hop = model.config.hop
     rng = np.random.default_rng(0)
 
-    # Warm the compiled hop (compile + first dispatch are not the loop).
+    # Warm the compiled hop AND both batched window drains (compiles are
+    # not the loop — an unwarmed 25 s window compile inside the paced
+    # phase starves the engine thread and reads as hundreds of xruns).
     out = model.process_input_buffers(
         rng.standard_normal(hop).astype(np.float32),
         rng.standard_normal(hop).astype(np.float32),
     )
     np.asarray(out[0])
+    for nb in (32, 8):
+        z = np.zeros(hop * nb, np.float32)
+        model.process_hops_span(z, z, span_index=-1, pcm=True)
 
     # ---- phase 1: saturating feed — engine-bound hop rate -------------
     # Batched drain (StreamHost batch_hops): the axon tunnel costs
@@ -76,7 +81,7 @@ def run(hops: int = 1000) -> dict:
     # tunnel serializes), so the live host drains its backlog in
     # B-hop scanned dispatches — the deployment trades B hops of output
     # latency for real-time throughput.
-    batch = 16
+    batch = 32
     host = StreamHost(
         model, span_index=-1, backlog_hops=batch, batch_hops=batch,
         pcm_feeds=True,
