@@ -190,6 +190,12 @@ class ApVast:
                     peak, jnp.finfo(jnp.float32).tiny
                 )
                 q = jnp.round(packed * scale).astype(jnp.int16)
+                if q.shape[1] < 2:
+                    # The scale row needs 2 int16 slots; a single-zone,
+                    # single-source feed is only 1 column wide — pad it
+                    # (the host-side unpack slices by num_srcs, so the
+                    # extra zero column is ignored).
+                    q = jnp.pad(q, ((0, 0), (0, 2 - q.shape[1])))
                 srow = jax.lax.bitcast_convert_type(
                     jnp.float32(scale)[None], jnp.int16
                 ).reshape(1, 2)

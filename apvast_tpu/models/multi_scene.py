@@ -30,6 +30,16 @@ class MultiSceneApVast:
         rir_pairs: list of (rir_a, rir_b) arrays, one per scene.
         mesh: optional ``jax.sharding.Mesh`` with 'scene' and/or 'mic'
             axes for multi-device execution.
+
+    Lockstep invariant (tracking solver): the tracking whitening's
+    rebuild cadence is one UNBATCHED scalar derived from scene 0's
+    carried hop counter (``parallel/mesh.py``), so all scenes MUST share
+    the same ``gevd_hop`` — true by construction here, and preserved by
+    :meth:`process_input_buffers` (every scene advances together). If
+    you swap or reset ONE scene's state in-place mid-serving, its warmup
+    window would silently follow the others' cadence; reset ALL scenes
+    together (or call :meth:`check_lockstep` after mutating
+    ``self.states`` to validate — one host fetch, debug use only).
     """
 
     def __init__(self, config: ApVastConfig, rir_pairs, mesh=None, keys=None):
@@ -50,6 +60,24 @@ class MultiSceneApVast:
     @property
     def num_scenes(self) -> int:
         return self.states.input_blocks.shape[0]
+
+    def check_lockstep(self) -> None:
+        """Assert all scenes share one gevd_hop (see class docstring).
+
+        Costs one device->host fetch; call after any manual
+        ``self.states`` surgery, not per hop."""
+        gh = getattr(self.states, "gevd_hop", None)
+        if gh is None:
+            return
+        import numpy as np
+
+        gh = np.asarray(gh)
+        if gh.size and gh.min() != gh.max():
+            raise RuntimeError(
+                "scene states are not lockstep (gevd_hop spans "
+                f"[{gh.min()}, {gh.max()}]); the tracking rebuild cadence "
+                "is shared — reset all scenes together"
+            )
 
     def process_input_buffers(self, hops_a, hops_b):
         """Advance every scene one hop. ``hops_a``/``hops_b``:

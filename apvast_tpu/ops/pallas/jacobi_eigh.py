@@ -279,11 +279,24 @@ def jacobi_eigh_hermitian(
     Replaces XLA's batched complex eigh in the FD engine's per-bin GEVD
     (engine/fd_hop.py): at (1602, 8, 8) the complex QR-iteration custom
     call chain measures ~2.7 ms/hop — most of the FD hop (VERDICT r3
-    weak #1). Caveat: if two DISTINCT eigenvalues of one pencil coincide
-    to the last float32 ulp, the adjacent-slot pairing can return two
-    phase-parallel copies instead of the two distinct eigenvectors; the
-    FD engine tolerates a rank-deficient bin (cumulative synthesis just
-    loses that bin's extra rank) and its NaN guard covers the rest.
+    weak #1).
+
+    Near-degenerate re-pairing (ADVICE r4): if two DISTINCT eigenvalues
+    of one pencil coincide to float32 ulp (or within finite-sweep Jacobi
+    convergence error), the ascending sort can interleave the two
+    J-pairs (l1, l2, l1, l2) and the every-other-column selection would
+    return two phase-parallel copies of one complex eigenvector,
+    silently losing a rank in that bin. Detect it — adjacent SELECTED
+    columns with |q_j^H q_{j-1}| ~ 1 instead of ~ 0 — and substitute the
+    neighboring odd column: in the good case that column is the
+    J-partner (the same complex vector up to phase, harmless); in the
+    interleaved case it is the missing second eigenvector; in a true
+    2-dim complex eigenspace it is an orthogonal complement of the
+    previous selection (J-symmetry: the odd column is orthogonal in
+    R^{2n} to both c_prev and, by construction, the J-image slots).
+    Chains of >= 3 coinciding distinct eigenvalues remain out of scope
+    (single-pass check); the FD engine's NaN guard and regularization
+    cover the rest.
 
     Returns ``(w, v)``: eigenvalues ascending (real), eigenvectors in
     columns (complex, unit norm).
@@ -300,6 +313,33 @@ def jacobi_eigh_hermitian(
     )  # (..., 2n, 2n) symmetric
     w2, v2 = jacobi_eigh(t, sweeps=sweeps, interpret=interpret)
     w = w2[..., 0::2]
-    vr = v2[..., :n, 0::2]
-    vi = v2[..., n:, 0::2]
-    return w, jax.lax.complex(vr, vi)
+    q = jax.lax.complex(v2[..., :n, 0::2], v2[..., n:, 0::2])
+    if n > 1:
+        p = jax.lax.complex(v2[..., :n, 1::2], v2[..., n:, 1::2])
+        overlap = jnp.abs(
+            jnp.sum(jnp.conj(q[..., :, :-1]) * q[..., :, 1:], axis=-2)
+        )  # (..., n-1): ~0 for distinct eigenvectors, ~1 for duplicates
+        dup = jnp.concatenate(
+            [jnp.zeros_like(overlap[..., :1], dtype=bool), overlap > 0.7],
+            axis=-1,
+        )  # (..., n) — slot j duplicates slot j-1
+        q = jnp.where(dup[..., None, :], p, q)
+        w = jnp.where(dup, w2[..., 1::2], w)
+        # Residual PARTIAL overlap: inside a true 2-dim complex
+        # eigenspace the embedding's real basis is arbitrary, so two
+        # selected columns can land anywhere from orthogonal to parallel
+        # (Re<q_i,q_j> = 0 by real orthogonality but Im is free). One
+        # pairwise Gram-Schmidt pass against the previous column is
+        # exact there (any orthonormal mix of a degenerate eigenspace is
+        # still an eigenbasis) and perturbs well-separated pairs only at
+        # the finite-sweep convergence-error level.
+        prev = q[..., :, :-1]
+        o = jnp.sum(jnp.conj(prev) * q[..., :, 1:], axis=-2)
+        corr = q[..., :, 1:] - prev * o[..., None, :]
+        nrm = jnp.sqrt(
+            jnp.sum(jnp.real(corr) ** 2 + jnp.imag(corr) ** 2, axis=-2,
+                    keepdims=True)
+        )
+        corr = corr / jnp.maximum(nrm, jnp.finfo(nrm.dtype).tiny)
+        q = jnp.concatenate([q[..., :, :1], corr], axis=-1)
+    return w, q

@@ -41,8 +41,19 @@ def cholesky_small(h: jax.Array) -> jax.Array:
     rows = jnp.arange(n)
     a = h
     cols = []
+    # Pivot floor (ADVICE r4): a rounding-induced non-PD pivot would put
+    # sqrt(negative)=NaN into a whole factor column and silently poison
+    # every downstream rank of that batch element. Clamp each pivot to a
+    # tiny trace-relative floor — inert for healthy PD inputs (the clamp
+    # engages only when the Schur diagonal is below ~eps * mean diag,
+    # i.e. the pencil is numerically singular anyway), and it turns NaN
+    # poisoning into a benign large-but-finite column that the engines'
+    # late non-finite guards or regularization absorb.
+    tr = jnp.real(jnp.trace(h, axis1=-2, axis2=-1)) / n
+    eps = jnp.finfo(tr.dtype).eps
+    floor = jnp.maximum(tr, jnp.finfo(tr.dtype).tiny) * eps
     for k in range(n):
-        pivot = jnp.sqrt(jnp.real(a[..., k, k]))
+        pivot = jnp.sqrt(jnp.maximum(jnp.real(a[..., k, k]), floor))
         col = a[..., :, k] / pivot.astype(a.dtype)[..., None]
         # Zero the strictly-upper part of the column (rows < k): those
         # entries of the running Schur complement are stale.

@@ -16,6 +16,7 @@ side only ever touches the native rings.
 from __future__ import annotations
 
 import threading
+import warnings
 
 import numpy as np
 
@@ -195,11 +196,27 @@ class StreamHost:
 
     def stop(self) -> None:
         self._stop.set()
+        drained = True
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+            if self._thread.is_alive():
+                # ADVICE r4: the worker is still inside a long batched
+                # dispatch — draining from this thread too would run
+                # process_pending concurrently against the same model
+                # state and output rings. Leave the remainder to the
+                # worker and surface the timeout instead.
+                drained = False
+                warnings.warn(
+                    "StreamHost.stop(): worker thread did not exit within "
+                    "5 s (long batched dispatch in flight); skipping the "
+                    "caller-side remainder drain",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             self._thread = None
         # Drain any sub-batch remainder the batched thread was holding.
-        self.process_pending()
+        if drained:
+            self.process_pending()
 
     @property
     def dropped_input_hops(self) -> int:

@@ -423,6 +423,61 @@ def measure_fd() -> int:
             "value", "per_hop_ms"
         )] = round(best / num_hops * 1000, 3)
         print(json.dumps(result), flush=True)
+
+        # Quality in the SAME artifact (VERDICT r4 #5): contrast A/B and
+        # NMSE of the operating point just timed, from a fresh-state run
+        # of the already-compiled stream on the same signals. Analysis
+        # mode ("allranks") is speed-only — its quality points are the
+        # per-rank trade-off curve, not one number.
+        if key_name == "allranks_rtf":
+            continue
+        try:
+            from apvast_tpu.engine.fd_hop import init_fd_state
+            from apvast_tpu.evaluation import (
+                acoustic_contrast_db, normalized_mse, predict_pressure,
+            )
+
+            def quality(plan, state, sa, sb, ra, rb):
+                st, outs = m._stream_fn(plan, state, sa, sb)
+                warm = num_hops // 2
+                # outs.out_a: (hops, v, hop, srcs) — last solution is the
+                # span rank the operating point claims; targets are
+                # (hops, hop, srcs).
+                cat_sol = lambda x: x[warm:, -1].reshape(-1, x.shape[-1])
+                cat_t = lambda x: x[warm:].reshape(-1, x.shape[-1])
+                fa, fb = cat_sol(outs.out_a), cat_sol(outs.out_b)
+                ta, tb = cat_t(outs.out_a_t), cat_t(outs.out_b_t)
+                p_aa = predict_pressure(fa, ra)
+                p_ab = predict_pressure(fa, rb)
+                p_bb = predict_pressure(fb, rb)
+                p_ba = predict_pressure(fb, ra)
+                pt_a = predict_pressure(ta, ra)
+                pt_b = predict_pressure(tb, rb)
+                return (
+                    acoustic_contrast_db(p_aa, p_ab),
+                    acoustic_contrast_db(p_bb, p_ba),
+                    normalized_mse(p_aa, pt_a),
+                    normalized_mse(p_bb, pt_b),
+                    jnp.sum(outs.silenced),
+                )
+
+            _mark(f"COMPILE fd quality {key_name}")
+            ca, cb, na, nb, sil = jax.jit(quality)(
+                m.plan, init_fd_state(m.config, key=jax.random.key(0)),
+                sig_a, sig_b,
+                jnp.asarray(rir_a, jnp.float32),
+                jnp.asarray(rir_b, jnp.float32),
+            )
+            _mark("COMPILED fd quality")
+            pre = "fd" if key_name == "value" else "fd_coupled"
+            result[f"{pre}_contrast_db"] = round(float(ca), 2)
+            result[f"{pre}_contrast_b_db"] = round(float(cb), 2)
+            result[f"{pre}_nmse"] = round(float(na), 4)
+            result[f"{pre}_nmse_b"] = round(float(nb), 4)
+            result[f"{pre}_silenced"] = int(sil)
+        except Exception as exc:  # pragma: no cover - keep speed numbers
+            result[f"fd_quality_error_{key_name}"] = str(exc)[:200]
+        print(json.dumps(result), flush=True)
     return 0
 
 
@@ -693,10 +748,13 @@ def main() -> int:
             compile_timeout=1200,
         )
         if ns.killed_mid_compile:
-            # A kill mid-compile wedges the tunnel (observed r2):
-            # don't throw the baseline child at a wedged tunnel.
-            tpu_ok = False
-            notes["tpu_error"] = ns.error
+            # A kill mid-compile can wedge the tunnel (observed r2).
+            # VERDICT r4 #1: re-probe instead of a blanket veto — only
+            # stop if the tunnel actually stopped answering.
+            notes["north_star_error"] = ns.error
+            tpu_ok = run_probe(min(300, remaining()))
+            if not tpu_ok:
+                notes["tpu_error"] = ns.error
 
     # 3. Baseline scene on TPU.
     base = None
@@ -708,29 +766,43 @@ def main() -> int:
             compile_timeout=900,
         )
         if base.killed_mid_compile:
-            tpu_ok = False
-            notes.setdefault("tpu_error", base.error)
+            notes.setdefault("baseline_error", base.error)
+            tpu_ok = run_probe(min(300, remaining()))
+            if not tpu_ok:
+                notes.setdefault("tpu_error", base.error)
 
-    # 3b. Secondary headline scenes (VERDICT r3 #2 — every number PERF.md
-    # quotes must be a driver artifact): TPU-scale (32 spk, JL=1600), the
-    # FD engine, and 8-stream serving. Each is optional — a failure is
-    # recorded, never fatal to the contract numbers above.
+    # 3b. Secondary headline scenes (VERDICT r3 #2 / r4 #1 — every number
+    # PERF.md quotes must be a driver artifact): ordered CHEAPEST-COMPILE
+    # FIRST with tpu-scale (32 spk, JL=1600 — cold compile > 481 s,
+    # BENCH_r04) LAST so it can never veto the others, and given a
+    # >= 900 s compile grace. A killed child no longer blanket-vetoes the
+    # remaining children: the tunnel is re-probed and measurement
+    # continues while it answers.
     secondary: dict[str, _ChildResult] = {}
-    for mode, floor in (
-        ("tpu-scale", 420), ("fd", 360), ("streams8", 300), ("live", 240),
+    for mode, floor, total_cap, compile_grace in (
+        ("live", 240, 600, 480),
+        ("streams8", 300, 700, 480),
+        ("fd", 360, 900, 600),
+        ("tpu-scale", 420, 1500, 1000),
     ):
-        if not tpu_ok or remaining() < floor + 120:
+        if not tpu_ok:
             break
+        if remaining() < floor + 120:
+            notes[f"{mode}_error"] = (
+                f"skipped: {remaining():.0f}s left < floor {floor + 120}s"
+            )
+            continue
         ch = _stream_child(
             mode,
-            total_timeout=min(600, remaining() - 90),
+            total_timeout=min(total_cap, remaining() - 90),
             idle_timeout=180,
-            compile_timeout=480,
+            compile_timeout=compile_grace,
         )
         secondary[mode] = ch
         if ch.killed_mid_compile:
-            tpu_ok = False
-            notes.setdefault("tpu_error", ch.error)
+            tpu_ok = run_probe(min(240, remaining()))
+            if not tpu_ok:
+                notes.setdefault("tpu_error", ch.error)
 
     result: dict | None = None
     if base is not None and base.data is not None and base.data.get(
@@ -788,6 +860,10 @@ def main() -> int:
                 sec_fields["fd_coupled_per_hop_ms"] = fd.data.get(
                     "coupled_per_hop_ms"
                 )
+            # Quality-in-artifact fields (VERDICT r4 #5).
+            for k, v in fd.data.items():
+                if "contrast" in k or "nmse" in k or "silenced" in k:
+                    sec_fields[k] = v
         else:
             notes["fd_error"] = fd.error or "fd child failed"
     s8 = secondary.get("streams8")

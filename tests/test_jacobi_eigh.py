@@ -292,6 +292,41 @@ def test_jacobi_hermitian_matches_lapack(rng):
     np.testing.assert_allclose(g, np.broadcast_to(np.eye(8), g.shape), atol=1e-4)
 
 
+def test_jacobi_hermitian_degenerate_pairs(rng):
+    """ADVICE r4: coinciding eigenvalues must not yield phase-parallel
+    duplicate eigenvectors. Exact 2-fold complex degeneracies (4-dim real
+    eigenspaces of the symmetric embedding) are the worst case for the
+    every-other-column selection; the re-pairing must keep the returned
+    columns orthonormal and the residual small."""
+    from apvast_tpu.ops.pallas.jacobi_eigh import jacobi_eigh_hermitian
+
+    n, bz = 8, 6
+    z = rng.standard_normal((bz, n, n)) + 1j * rng.standard_normal((bz, n, n))
+    q, _ = np.linalg.qr(z)
+    # Spectrum with two exact 2-fold degeneracies and a near-coincident
+    # (1 ulp apart in float32) distinct pair.
+    w0 = np.array(
+        [1.0, 1.0, 2.0, 2.0, 3.0, np.float32(3.0) + np.spacing(np.float32(3.0)),
+         5.0, 8.0],
+        np.float64,
+    )
+    a = (q * w0[None, None, :].astype(q.dtype)) @ np.conj(
+        q.swapaxes(-1, -2)
+    )
+    a = (0.5 * (a + np.conj(a.swapaxes(-1, -2)))).astype(np.complex64)
+    w, v = jax.jit(
+        lambda x: jacobi_eigh_hermitian(x, sweeps=10, interpret=True)
+    )(jnp.asarray(a))
+    w, v = np.asarray(w), np.asarray(v)
+    np.testing.assert_allclose(w, np.linalg.eigvalsh(a), atol=2e-4 * 8)
+    g = np.einsum("bij,bik->bjk", v.conj(), v)
+    np.testing.assert_allclose(
+        g, np.broadcast_to(np.eye(n), g.shape), atol=5e-3
+    )
+    res = np.einsum("bij,bjk->bik", a, v) - v * w[:, None, :]
+    assert np.max(np.abs(res)) < 1e-3 * np.max(np.abs(a))
+
+
 def test_jdiag_hermitian_batched_jacobi_contract(rng):
     """eigh_impl='jacobi' keeps the GEVD contract U^H B_reg U = I and
     matches the LAPACK path's eigenvalues."""
