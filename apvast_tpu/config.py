@@ -273,6 +273,15 @@ class ApVastConfig:
     # the cheap mode — quality-gated on the 32-speaker scene
     # (tools/tracking_gate.py).
     tracking_residual_precision: str = "high"
+    # Residual-triggered rebuild fallback: when > 0, a hop whose carried
+    # relative Ritz residual (computed for free inside the tracked
+    # solver from the previous hop) exceeds this threshold forces a
+    # preconditioner rebuild even between the fixed-cadence hops — the
+    # guard against nonstationary program material going stale between
+    # rebuilds (level steps, silence-to-signal transitions). 0 disables.
+    # Steady-state residuals measure ~1e-2..1e-1 on noise at T16; the
+    # blessed production value comes from tools/tracking_gate.py.
+    tracking_residual_rebuild: float = 0.0
     # Rayleigh-Ritz basis handling: "cholqr2" orthonormalizes the
     # doubled basis [q, p]; "direct" Rayleigh-Ritzes the raw basis
     # (the generalized solve Cholesky-whitens bbar, so orthonormality
@@ -280,6 +289,17 @@ class ApVastConfig:
     # products, saving the CholeskyQR2 pass and 1/3 of the solver's
     # (n, n) x (n, k) matmul budget. Quality-gated at 32 speakers.
     tracking_rr_basis: str = "cholqr2"
+    # HALF-FORM covariance hand-off (round 5): the skew statistics
+    # kernel emits M with R = M + M^T (garbage upper-tap lanes zeroed,
+    # tap-diagonal halved in-kernel) and the tracking solver applies
+    # M x + M^T x via transposed-contraction dot_generals — the
+    # symmetric completion's transpose + mask-select pass over the
+    # (4, SJ, SJ) stack (~215 MB HBM/hop at SJ=1600) never runs in the
+    # steady-state hop; the full dark matrix is materialized only
+    # inside the preconditioner rebuild branch. Requires the skew lag
+    # statistics path, the tracking solver, and PYTHON regularization
+    # (the norm-based loading variants need the completed matrix).
+    statistics_half_form: bool = False
     # Rayleigh-Ritz eigensolver for the SUBSPACE solver's small projected
     # matrix: "lapack" (XLA eigh custom call) or "jacobi" (one fused
     # Pallas cyclic-Jacobi kernel, float32 production — the custom call
@@ -466,12 +486,31 @@ class ApVastConfig:
             )
         if self.tracking_outer_steps < 1:
             raise ValueError("tracking_outer_steps must be >= 1")
+        if self.tracking_residual_rebuild < 0:
+            raise ValueError("tracking_residual_rebuild must be >= 0")
         if self.lag_assembly not in ("wide", "pair", "tap", "skew"):
             # Otherwise a typo surfaces as a bare KeyError inside the
             # jitted hop's assembly dispatch (engine/hop.py).
             raise ValueError(
                 "lag_assembly must be one of 'wide', 'pair', 'tap', 'skew'"
             )
+        if self.statistics_half_form:
+            if not (
+                self.use_lag_statistics
+                and self.lag_assembly == "skew"
+                and self.gevd_solver is GevdSolver.SUBSPACE
+                and self.subspace_whiten == "tracking"
+            ):
+                raise ValueError(
+                    "statistics_half_form requires the skew lag "
+                    "statistics path and the tracking GEVD solver (the "
+                    "other solvers consume the completed matrix)"
+                )
+            if self.regularization is not RegularizationVariant.PYTHON:
+                raise ValueError(
+                    "statistics_half_form supports PYTHON regularization "
+                    "only (norm-based loading needs the completed matrix)"
+                )
         if self.fd_frame_taps < 1:
             raise ValueError("fd_frame_taps must be >= 1")
         if self.fd_bin_coupling < 1 or self.fd_bin_coupling % 2 != 1:

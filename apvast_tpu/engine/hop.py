@@ -379,6 +379,13 @@ def process_hop(
         # multiple of 8 (Mosaic block sublane alignment); fall back to
         # the dense statistics path for other geometries.
         use_lag = False
+    half_form = config.statistics_half_form and use_lag
+    if config.statistics_half_form and not use_lag:
+        raise ValueError(
+            "statistics_half_form needs the skew statistics kernel, "
+            f"which requires num_srcs % 8 == 0 (got {s}); disable the "
+            "half form for this geometry"
+        )
     tap_major = use_lag and config.lag_assembly == "tap"
     if use_lag:
         from apvast_tpu.ops.lag_statistics import (
@@ -394,7 +401,12 @@ def process_hop(
             "wide": covariance_via_lags_wide,
             "skew": covariance_via_lags_skew,
         }[config.lag_assembly]
-        r_mats, r_vecs = cov_fn(buf_eff, d, j)
+        if half_form:
+            r_mats, r_vecs = covariance_via_lags_skew(
+                buf_eff, d, j, form="half"
+            )
+        else:
+            r_mats, r_vecs = cov_fn(buf_eff, d, j)
     elif config.use_pallas_statistics:
         if dtype != jnp.float32:
             raise ValueError("use_pallas_statistics requires dtype=float32")
@@ -441,6 +453,9 @@ def process_hop(
     if config.effective_reg_b_relative > 0:
         # Scale-aware extra loading for float32 production on scenes whose
         # covariance magnitude dwarfs the reference's absolute reg_b.
+        # Works unchanged in half form: tr(M) = tr(B)/2 and M needs half
+        # of B's loading, so the relative-times-half-trace product IS
+        # the right half loading.
         mean_diag = jnp.einsum("zii->z", b_stack) / (s * j)
         b_stack = b_stack + (
             config.effective_reg_b_relative * mean_diag
@@ -460,16 +475,19 @@ def process_hop(
         reg = 0.0
 
     if not config.run_a:  # keep the disabled zone's pencil factorizable
-        a_stack = a_stack.at[0].set(eye)
-        b_stack = b_stack.at[0].set(eye)
+        filler = 0.5 * eye if half_form else eye  # half: M + M^T = I
+        a_stack = a_stack.at[0].set(filler)
+        b_stack = b_stack.at[0].set(filler)
     if not config.run_b:
-        a_stack = a_stack.at[1].set(eye)
-        b_stack = b_stack.at[1].set(eye)
+        filler = 0.5 * eye if half_form else eye
+        a_stack = a_stack.at[1].set(filler)
+        b_stack = b_stack.at[1].set(filler)
 
     gevd_q = state.gevd_q
     gevd_minv = state.gevd_minv
     gevd_lam = state.gevd_lam
     gevd_hop = state.gevd_hop
+    gevd_resid = state.gevd_resid
     if config.gevd_solver is GevdSolver.SUBSPACE and (
         config.subspace_whiten == "tracking"
     ):
@@ -492,7 +510,21 @@ def process_hop(
                 gevd_hop < config.tracking_warmup_hops,
                 gevd_hop % config.tracking_rebuild_period == 0,
             )
-        u, lam, gevd_q, gevd_lam, gevd_minv, silenced = jdiag_topk_tracked(
+            if config.tracking_residual_rebuild > 0 and (
+                state.gevd_resid is not None
+            ):
+                # Residual-triggered fallback (VERDICT r4 #4): when the
+                # previous hop's Ritz residual says the carried basis/
+                # preconditioner went stale between cadence rebuilds
+                # (level step, spectral shift), rebuild NOW instead of
+                # waiting out the fixed period.
+                rebuild = jnp.logical_or(
+                    rebuild,
+                    state.gevd_resid > config.tracking_residual_rebuild,
+                )
+        (
+            u, lam, gevd_q, gevd_lam, gevd_minv, silenced, gevd_resid,
+        ) = jdiag_topk_tracked(
             a_stack,
             b_stack,
             reg,
@@ -507,6 +539,7 @@ def process_hop(
             interpret=(jax.default_backend() == "cpu"),
             residual_precision=config.tracking_residual_precision,
             rr_basis=config.tracking_rr_basis,
+            half_form=half_form,
         )
         gevd_hop = gevd_hop + 1
     elif config.gevd_solver is GevdSolver.SUBSPACE and (
@@ -677,6 +710,7 @@ def process_hop(
         gevd_minv=gevd_minv,
         gevd_lam=gevd_lam,
         gevd_hop=gevd_hop,
+        gevd_resid=gevd_resid,
     )
     outputs = HopOutputs(
         out_a=out_vhs[0] if config.run_a else None,

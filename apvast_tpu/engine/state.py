@@ -77,6 +77,10 @@ class ApVastState:
     # the preconditioner rebuild cadence — tracking whitening only.
     gevd_lam: jax.Array | None = None
     gevd_hop: jax.Array | None = None
+    # Scalar relative Ritz residual from the previous hop (f32) — feeds
+    # the residual-triggered rebuild fallback
+    # (config.tracking_residual_rebuild). Tracking whitening only.
+    gevd_resid: jax.Array | None = None
 
 
 def init_state(
@@ -125,6 +129,7 @@ def init_state(
     gevd_minv = None
     gevd_lam = None
     gevd_hop = None
+    gevd_resid = None
     if config.gevd_solver is GevdSolver.SUBSPACE:
         # Deterministic full-rank cold-start subspace; the per-hop QR
         # iterations orthonormalize and converge it during stream warmup.
@@ -149,6 +154,8 @@ def init_state(
             )
             gevd_lam = jnp.zeros((2, config.subspace_rank), dtype=dtype)
             gevd_hop = jnp.zeros((), dtype=jnp.int32)
+            # Cold residual 0: hop 0 sits in the warmup window anyway.
+            gevd_resid = jnp.zeros((), dtype=jnp.float32)
 
     return ApVastState(
         conv_history=jnp.zeros((2, config.fir_history), dtype=dtype),
@@ -168,4 +175,5 @@ def init_state(
         gevd_minv=gevd_minv,
         gevd_lam=gevd_lam,
         gevd_hop=gevd_hop,
+        gevd_resid=gevd_resid,
     )

@@ -84,6 +84,16 @@ def run_multi_stream(
                 gevd_hop < config.tracking_warmup_hops,
                 gevd_hop % config.tracking_rebuild_period == 0,
             )
+            if config.tracking_residual_rebuild > 0 and (
+                carry.gevd_resid is not None
+            ):
+                # Unbatched scalar: any stale scene rebuilds all
+                # (lockstep cadence — see docstring).
+                rebuild = jnp.logical_or(
+                    rebuild,
+                    jnp.max(carry.gevd_resid)
+                    > config.tracking_residual_rebuild,
+                )
         return jax.vmap(
             lambda p, st, a, b: process_hop(
                 config, p, st, a, b, rebuild_override=rebuild

@@ -481,9 +481,19 @@ def jdiag_topk_tracked(
     interpret: bool = False,
     residual_precision: str = "high",
     rr_basis: str = "cholqr2",
+    half_form: bool = False,
 ):
     """Top-k GEVD by inner-outer subspace TRACKING — no per-hop (n, n)
     factorization.
+
+    ``half_form``: ``A``/``B`` are given as half matrices M with the
+    true symmetric pencil R = M + M^T (the skew statistics kernel's
+    ``form='half'`` output). Every application R x becomes two MXU
+    contractions M x + M^T x (``dot_general`` with transposed
+    contraction dims — no materialized transpose), and the full dark
+    matrix is materialized only inside the rebuild branch for its
+    Cholesky. This removes the statistics path's symmetric-completion
+    pass (~215 MB/hop HBM at SJ=1600) from the steady-state hop.
 
     The production 'invert' whitening re-factorizes the loaded dark
     matrix every hop: XLA's blocked Cholesky (~840 us at n = 1600,
@@ -522,9 +532,12 @@ def jdiag_topk_tracked(
             cold — ``rebuild`` must be True on the first hop).
         rebuild: bool scalar — refresh Li from a fresh factorization.
 
-    Returns ``(u, d, q_next, lam_next, li_next, silenced)`` with
-    ``U^T (B + reg I) U = I`` and d descending, matching
-    :func:`jdiag_topk_batched`'s extraction contract.
+    Returns ``(u, d, q_next, lam_next, li_next, silenced, resid_rel)``
+    with ``U^T (B + reg I) U = I`` and d descending, matching
+    :func:`jdiag_topk_batched`'s extraction contract; ``resid_rel`` is
+    the scalar relative block-residual of the INCOMING Ritz pairs on
+    this hop's pencil (max over zones) — carry it and feed the
+    residual-triggered rebuild predicate.
     """
     from apvast_tpu.ops.trisolve import triangular_inverse
 
@@ -532,15 +545,48 @@ def jdiag_topk_tracked(
     k = q_init.shape[-1]
     dtype = A.dtype
     eye = jnp.eye(n, dtype=dtype)
-    b_l = B + reg * eye
     hi = jax.lax.Precision.HIGH
     hst = jax.lax.Precision.HIGHEST
+
+    if half_form:
+        def _tmm(m, x, prec):
+            # (z, n, n)^T @ (z, n, k) without materializing the transpose.
+            return jax.lax.dot_general(
+                m, x,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                precision=prec,
+            )
+
+        def apply_a(x, prec):
+            return jnp.matmul(A, x, precision=prec) + _tmm(A, x, prec)
+
+        def apply_b(x, prec):
+            return (
+                jnp.matmul(B, x, precision=prec)
+                + _tmm(B, x, prec)
+                + reg * x
+            )
+
+        def b_full():
+            return B + B.swapaxes(-1, -2) + reg * eye
+    else:
+        b_l = B + reg * eye
+
+        def apply_a(x, prec):
+            return jnp.matmul(A, x, precision=prec)
+
+        def apply_b(x, prec):
+            return jnp.matmul(b_l, x, precision=prec)
+
+        def b_full():
+            return b_l
 
     def _rebuild_li(_):
         # The carry may be bfloat16 (config.tracking_li_bf16): Li is a
         # preconditioner only, and the half-width carry halves the
-        # (z, n, n) scan-copy/select HBM traffic.
-        fresh = triangular_inverse(jnp.linalg.cholesky(b_l)).astype(
+        # (z, n, n) scan-copy/select HBM traffic. Under half_form the
+        # full dark matrix exists only here, inside the rebuild branch.
+        fresh = triangular_inverse(jnp.linalg.cholesky(b_full())).astype(
             li_carry.dtype
         )
         # Self-heal INSIDE the branch: a non-finite fresh factor falls
@@ -569,10 +615,32 @@ def jdiag_topk_tracked(
         jax.lax.Precision.DEFAULT
     )
     q, lam = q_init, lam_init
+    resid_rel = None
     for _ in range(outer_steps):
-        aq = jnp.matmul(A, q, precision=rp)
-        bq = jnp.matmul(b_l, q, precision=rp)
+        aq = apply_a(q, rp)
+        bq = apply_b(q, rp)
         res = aq - bq * lam[:, None, :]
+        if resid_rel is None:
+            # Staleness scalar for the residual-triggered rebuild
+            # (VERDICT r4 #4): the relative block-residual norm of the
+            # INCOMING Ritz pairs on the current pencil, from matrices
+            # already computed — free beyond two reductions. Returned to
+            # the caller, which carries it and ORs next hop's rebuild
+            # predicate when it exceeds the configured threshold. A
+            # non-finite residual maps to +inf (forces a rebuild — the
+            # same self-heal direction as the carry guards below).
+            num = jnp.sum(
+                jnp.square(res.astype(jnp.float32)), axis=(-2, -1)
+            )
+            den = jnp.sum(
+                jnp.square(aq.astype(jnp.float32)), axis=(-2, -1)
+            )
+            resid_rel = jnp.max(
+                jnp.sqrt(num / (den + jnp.finfo(jnp.float32).tiny))
+            )
+            resid_rel = jnp.where(
+                jnp.isfinite(resid_rel), resid_rel, jnp.inf
+            )
         p = jnp.matmul(
             li.swapaxes(-1, -2), jnp.matmul(li, res, precision=rp),
             precision=rp,
@@ -587,16 +655,16 @@ def jdiag_topk_tracked(
             # Column-scale p so bbar stays balanced.
             pn = jnp.sqrt(jnp.sum(p * p, axis=-2, keepdims=True))
             p = p / (pn + jnp.asarray(jnp.finfo(dtype).tiny, dtype))
-            ap = jnp.matmul(A, p, precision=hi)
-            bp = jnp.matmul(b_l, p, precision=hi)
+            ap = apply_a(p, hi)
+            bp = apply_b(p, hi)
             s = jnp.concatenate([q, p], axis=-1)
             a_s = jnp.concatenate([aq, ap], axis=-1)
             b_s = jnp.concatenate([bq, bp], axis=-1)
         else:
             s = jax.vmap(_cholqr2)(jnp.concatenate([q, p], axis=-1))
             # Exact-pencil Rayleigh-Ritz matrices on the doubled basis.
-            a_s = jnp.matmul(A, s, precision=hi)
-            b_s = jnp.matmul(b_l, s, precision=hi)
+            a_s = apply_a(s, hi)
+            b_s = apply_b(s, hi)
         st = s.swapaxes(-1, -2)
         abar = jnp.matmul(st, a_s, precision=hst)
         bbar = jnp.matmul(st, b_s, precision=hst)
@@ -653,7 +721,7 @@ def jdiag_topk_tracked(
     # hop it is passed through untouched.)
     q = jnp.where(jnp.isfinite(q), q, q_init)
     lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
-    return u, dd, q, lam, li, silenced
+    return u, dd, q, lam, li, silenced, resid_rel
 
 
 def jdiag_hermitian(A: jax.Array, B: jax.Array, reg: float | jax.Array = 1e-7):

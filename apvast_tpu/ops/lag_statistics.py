@@ -361,9 +361,18 @@ def covariance_via_lags_skew(
     j: int,
     c0_method: str = "auto",
     interpret: bool | None = None,
+    form: str = "full",
 ) -> tuple[jax.Array, jax.Array]:
     """Source-major lag statistics with the assembly fused into one
     scanned Pallas MXU kernel (ops/pallas/skew_assembly.py).
+
+    ``form="half"`` returns M with R = M + M^T instead of R itself
+    (strict-upper-tap lanes zeroed and tap-diagonal lanes halved inside
+    the kernel): the symmetric completion's transpose + select pass over
+    the (SJ, SJ) stack — ~215 MB of HBM traffic per hop at SJ=1600 —
+    disappears, and symmetric consumers (the tracking GEVD solver)
+    apply M and M^T as two MXU contractions with no materialized
+    transpose.
 
     The pair/tap/wide variants above compute the diagonal tables and
     then pay separate relayout passes (shears, flips, transposes) to
@@ -414,9 +423,15 @@ def covariance_via_lags_skew(
     lhs_t = lhs.transpose(0, 3, 2, 1).reshape(p4, j * s, 2 * m)
     rhs_sm = jnp.flip(rhs, axis=-1).reshape(p4, 2 * m, s * j)
 
+    if form not in ("full", "half"):
+        raise ValueError(f"form must be 'full' or 'half', got {form!r}")
     low = lag_skew_assemble(
-        lhs_t, rhs_sm, c0_sm, j, interpret=interpret
+        lhs_t, rhs_sm, c0_sm, j, interpret=interpret,
+        half_scaled=(form == "half"),
     ).reshape(p4, s * j, s * j)
+    r_vecs = jnp.flip(r_corr, axis=-1).reshape(2, s * j)
+    if form == "half":
+        return low, r_vecs
     # Symmetric completion: the kernel writes valid values at t2 <= t1
     # (within every source block); R = R^T fills the rest. The flat
     # (SJ, SJ) mask select is the fast form: re-expressing it as a
@@ -426,7 +441,6 @@ def covariance_via_lags_skew(
     taps = jnp.arange(s * j) % j
     mask = taps[:, None] >= taps[None, :]
     r_mats = jnp.where(mask, low, jnp.swapaxes(low, -1, -2))
-    r_vecs = jnp.flip(r_corr, axis=-1).reshape(2, s * j)
     return r_mats, r_vecs
 
 

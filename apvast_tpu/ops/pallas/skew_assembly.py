@@ -44,7 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(lhs_ref, rhs_ref, c0_ref, out_ref, acc_ref, *, s1, j, bands):
+def _kernel(
+    lhs_ref, rhs_ref, c0_ref, out_ref, acc_ref, *, s1, j, bands, half_scaled
+):
     b = pl.program_id(1)
 
     # One MXU pass for all bands of this step: (B*S1, C) @ (C, S2*J).
@@ -61,6 +63,12 @@ def _kernel(lhs_ref, rhs_ref, c0_ref, out_ref, acc_ref, *, s1, j, bands):
         # i = 0 edge row of lhsT is zeros by construction, so adding
         # terms[0:s1] keeps t_tab[0] = c0 exact.
         acc_ref[:] = c0_ref[0]
+
+    if half_scaled:
+        # Lane tap index t2 for the masked half-form write (see below).
+        t2 = (
+            jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) % j
+        )
 
     for q in range(bands):
         # Band index a = b*bands + q; shift applies to every a >= 1.
@@ -79,7 +87,26 @@ def _kernel(lhs_ref, rhs_ref, c0_ref, out_ref, acc_ref, *, s1, j, bands):
             acc_ref[:] = _shift_left(acc_ref[:]) + row
         # Output row band t1 = J-1-a sits at block-local index
         # bands-1-q (the step's t1 range is [J-(b+1)B, J-1-bB]).
-        out_ref[0, bands - 1 - q, :, :] = acc_ref[:]
+        if half_scaled:
+            # HALF form: zero the garbage strict-upper-tap lanes and
+            # halve the tap-diagonal lanes so the full symmetric matrix
+            # is exactly M + M^T — no post-kernel mask/select/transpose
+            # pass (the completion cost ~215 MB/hop of HBM traffic at
+            # SJ=1600; consumers apply M and M^T instead).
+            a_idx = b * bands + q
+            t1 = j - 1 - a_idx
+            fac = jnp.where(
+                t2 > t1,
+                jnp.zeros((), acc_ref.dtype),
+                jnp.where(
+                    t2 == t1,
+                    jnp.full((), 0.5, acc_ref.dtype),
+                    jnp.ones((), acc_ref.dtype),
+                ),
+            )
+            out_ref[0, bands - 1 - q, :, :] = acc_ref[:] * fac
+        else:
+            out_ref[0, bands - 1 - q, :, :] = acc_ref[:]
 
 
 def _shift_left(x: jax.Array) -> jax.Array:
@@ -95,8 +122,13 @@ def lag_skew_assemble(
     j: int,
     bands_per_step: int | None = None,
     interpret: bool = False,
+    half_scaled: bool = False,
 ) -> jax.Array:
     """Assemble source-major lower-tap-triangle covariance rows.
+
+    With ``half_scaled`` the written rows are exactly the half form M
+    (R = M + M^T): garbage strict-upper-tap lanes are zeroed and
+    tap-diagonal lanes halved at write time (one VPU select per band).
 
     Args:
         lhs_t: (P, J*S1, C) — lhs_t[p, a*S1+s1, c] = edge factor
@@ -154,7 +186,8 @@ def lag_skew_assemble(
     # one cheap row-contiguous transpose away.
     out = pl.pallas_call(
         functools.partial(
-            _kernel, s1=s1, j=j, bands=bands_per_step
+            _kernel, s1=s1, j=j, bands=bands_per_step,
+            half_scaled=half_scaled,
         ),
         grid=(p, nb),
         in_specs=[

@@ -50,6 +50,7 @@ _STATE_MIC_DIM = {
     "gevd_minv": None,
     "gevd_lam": None,
     "gevd_hop": None,
+    "gevd_resid": None,
 }
 _PLAN_MIC_DIM = {
     "window": None,
@@ -244,6 +245,16 @@ def sharded_multi_scene_hop(
                 gevd_hop < config.tracking_warmup_hops,
                 gevd_hop % config.tracking_rebuild_period == 0,
             )
+            if config.tracking_residual_rebuild > 0 and (
+                states.gevd_resid is not None
+            ):
+                # Residual fallback stays an UNBATCHED scalar: ANY stale
+                # scene rebuilds all (lockstep — see the in_axes note).
+                rebuild = jnp.logical_or(
+                    rebuild,
+                    jnp.max(states.gevd_resid)
+                    > config.tracking_residual_rebuild,
+                )
         return vmapped(plans, states, hops_a, hops_b, rebuild)
 
     if mesh is None:

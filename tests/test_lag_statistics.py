@@ -157,6 +157,35 @@ def test_skew_equals_pair_assembly(s, j, m, n):
     )
 
 
+@pytest.mark.parametrize(
+    "s,j,m,n", [(3, 16, 2, 80), (4, 7, 3, 40), (16, 50, 3, 140)]
+)
+def test_skew_half_form_completes_to_full(s, j, m, n):
+    """form='half' returns M with M + M^T == the completed full matrix
+    (round 5: the tracking solver consumes M directly, skipping the
+    transpose + select completion pass). The kernel masks at write time:
+    strict-upper-tap lanes zeroed, tap-diagonal halved."""
+    from apvast_tpu.ops.lag_statistics import covariance_via_lags_skew
+
+    rng = np.random.default_rng(17 + s + j)
+    buf = jnp.asarray(rng.standard_normal((4, m, s, n)))
+    d = jnp.asarray(rng.standard_normal((2, m, n - j + 1)))
+    r_full, v_full = covariance_via_lags_skew(buf, d, j, c0_method="conv")
+    r_half, v_half = covariance_via_lags_skew(
+        buf, d, j, c0_method="conv", form="half"
+    )
+    scale = float(jnp.abs(r_full).max())
+    got = np.asarray(r_half) + np.swapaxes(np.asarray(r_half), -1, -2)
+    np.testing.assert_allclose(
+        got, np.asarray(r_full), rtol=1e-12, atol=1e-12 * scale
+    )
+    np.testing.assert_array_equal(np.asarray(v_half), np.asarray(v_full))
+    # The strict-upper-tap region is exactly zero (no garbage survives).
+    taps = np.arange(s * j) % j
+    upper = taps[:, None] < taps[None, :]
+    assert np.all(np.asarray(r_half)[:, upper] == 0.0)
+
+
 @pytest.mark.parametrize("assembly", ["pair", "wide", "tap", "skew"])
 @pytest.mark.parametrize("variant", list(ToeplitzVariant))
 def test_engine_hop_with_lag_statistics(small_scene, variant, assembly):

@@ -36,7 +36,7 @@ def test_tracked_converges_to_dense(rng):
     li = jnp.broadcast_to(jnp.eye(n), (2, n, n))
     rebuild = jnp.asarray(True)
     for _ in range(8):
-        u, d, q, lam, li, sil = jdiag_topk_tracked(
+        u, d, q, lam, li, sil, _ = jdiag_topk_tracked(
             a, b, reg, top, q, lam, li, rebuild, outer_steps=1
         )
     assert int(sil) == 0
@@ -72,7 +72,7 @@ def test_tracked_stale_preconditioner_tracks(rng):
         b_np = 0.9 * b_np + 0.1 * db
         a = jnp.asarray(np.stack([a_np, a_np]))
         b = jnp.asarray(np.stack([b_np, b_np]))
-        u, d, q, lam, li, sil = jdiag_topk_tracked(
+        u, d, q, lam, li, sil, _ = jdiag_topk_tracked(
             a, b, 1e-7, top, q, lam, li,
             jnp.asarray(t == 0), outer_steps=2,
         )
@@ -195,6 +195,156 @@ def test_tracking_li_bf16_quality_and_validation():
 
     with pytest.raises(ValueError, match="float32-production"):
         dataclasses.replace(base, dtype="float64", tracking_li_bf16=True)
+
+
+def test_tracked_half_form_matches_full(rng):
+    """half_form=True with M = tril(A,-1) + diag(A)/2 must reproduce the
+    full-matrix call: same math, different summation order."""
+    n, k, top, reg = 60, 24, 12, 1e-7
+    a_np, b_np = _pencil(rng, n)
+
+    def half(x):
+        return np.tril(x, -1) + 0.5 * np.diag(np.diag(x))
+
+    a = jnp.asarray(np.stack([a_np, a_np]))
+    b = jnp.asarray(np.stack([b_np, b_np]))
+    ah = jnp.asarray(np.stack([half(a_np), half(a_np)]))
+    bh = jnp.asarray(np.stack([half(b_np), half(b_np)]))
+    q0 = jnp.asarray(rng.standard_normal((2, n, k)))
+    lam0 = jnp.zeros((2, k))
+    li0 = jnp.broadcast_to(jnp.eye(n), (2, n, n))
+    q, lam, li = q0, lam0, li0
+    qh, lamh, lih = q0, lam0, li0
+    for t in range(6):
+        rebuild = jnp.asarray(t % 3 == 0)
+        u, d, q, lam, li, sil, _ = jdiag_topk_tracked(
+            a, b, reg, top, q, lam, li, rebuild, outer_steps=1
+        )
+        uh, dh, qh, lamh, lih, silh, _ = jdiag_topk_tracked(
+            ah, bh, reg, top, qh, lamh, lih, rebuild, outer_steps=1,
+            half_form=True,
+        )
+        assert int(sil) == 0 and int(silh) == 0
+    d, dh, u, uh = map(np.asarray, (d, dh, u, uh))
+    np.testing.assert_allclose(dh, d, rtol=1e-9)
+    # Eigenvectors are sign-ambiguous (the inner eigh may flip columns
+    # on bit-different inputs): align signs before comparing.
+    sgn = np.sign(np.sum(u * uh, axis=1, keepdims=True))
+    np.testing.assert_allclose(
+        uh * sgn, u, rtol=1e-6, atol=1e-8 * float(np.abs(u).max())
+    )
+
+
+def test_statistics_half_form_engine_quality_and_validation():
+    """config.statistics_half_form: the half-form statistics -> tracking
+    solver hand-off must match the full-form engine's acoustic contrast
+    (same sums, no completion pass), and be rejected with incompatible
+    solvers/regularization."""
+    import pytest
+
+    from apvast_tpu.config import ApVastConfig, RegularizationVariant
+    from apvast_tpu.engine import run_stream
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    base = ApVastConfig(
+        rir_length=64, num_srcs=4, num_mics=8, block_size=64,
+        filter_length=8, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=4, mu=1.0,
+        statistics_buffer_length=96, sampling_rate=8000, perceptual=False,
+        dtype="float32", gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking", tracking_warmup_hops=2,
+        tracking_rebuild_period=3, use_lag_statistics=True,
+        lag_assembly="skew",
+    )
+    ra = synthetic_rirs(64, 4, 8, seed=1)
+    rb = synthetic_rirs(64, 4, 8, seed=2)
+    rng = np.random.default_rng(5)
+    nh = 16
+    sa = jnp.asarray(rng.standard_normal(32 * nh), jnp.float32)
+    sb = jnp.asarray(rng.standard_normal(32 * nh), jnp.float32)
+    cons = {}
+    for hf in (False, True):
+        cfg = dataclasses.replace(base, statistics_half_form=hf)
+        plan = build_plan(cfg, ra, rb)
+        st = init_state(cfg, key=jax.random.key(0))
+        _, o = run_stream(cfg, plan, st, sa, sb)
+        assert np.isfinite(np.asarray(o.out_a)).all()
+        assert int(jnp.sum(o.silenced)) == 0
+        f = np.asarray(o.out_a)[nh // 2 :, 0].reshape(-1, 4)
+        cons[hf] = float(
+            acoustic_contrast_db(
+                predict_pressure(f, ra), predict_pressure(f, rb)
+            )
+        )
+    assert abs(cons[True] - cons[False]) < 0.05, cons
+
+    with pytest.raises(ValueError, match="tracking"):
+        dataclasses.replace(
+            base, statistics_half_form=True, subspace_whiten="invert"
+        )
+    with pytest.raises(ValueError, match="skew"):
+        dataclasses.replace(
+            base, statistics_half_form=True, lag_assembly="wide"
+        )
+    with pytest.raises(ValueError, match="PYTHON regularization"):
+        dataclasses.replace(
+            base,
+            statistics_half_form=True,
+            regularization=RegularizationVariant.MATLAB,
+        )
+
+
+def test_tracking_residual_rebuild_triggers_on_level_step():
+    """config.tracking_residual_rebuild (VERDICT r4 #4): with the fixed
+    cadence effectively disabled (huge period), a 26 dB level step in
+    the program material must raise the carried Ritz residual past the
+    threshold and force a preconditioner rebuild (gevd_minv changes);
+    without the trigger the stale identity-era preconditioner is carried
+    unchanged forever."""
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    base = ApVastConfig(
+        rir_length=64, num_srcs=4, num_mics=8, block_size=64,
+        filter_length=8, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=4, mu=1.0,
+        statistics_buffer_length=96, sampling_rate=8000, perceptual=False,
+        dtype="float32", gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking", tracking_warmup_hops=2,
+        tracking_rebuild_period=10_000,
+    )
+    ra = synthetic_rirs(64, 4, 8, seed=1)
+    rb = synthetic_rirs(64, 4, 8, seed=2)
+    rng = np.random.default_rng(5)
+    hop = 32
+    quiet = 0.05 * rng.standard_normal((8, 2, hop)).astype(np.float32)
+    loud = rng.standard_normal((8, 2, hop)).astype(np.float32)
+    hops = np.concatenate([quiet, loud])
+
+    for thresh in (0.0, 0.35):
+        cfg = dataclasses.replace(base, tracking_residual_rebuild=thresh)
+        plan = build_plan(cfg, ra, rb)
+        state = init_state(cfg, key=jax.random.key(0))
+        fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+        minv_changed_after_step = False
+        for t in range(hops.shape[0]):
+            prev_minv = state.gevd_minv
+            state, out = fn(
+                state, jnp.asarray(hops[t, 0]), jnp.asarray(hops[t, 1])
+            )
+            if t >= 8 and not np.array_equal(
+                np.asarray(prev_minv), np.asarray(state.gevd_minv)
+            ):
+                minv_changed_after_step = True
+        assert np.isfinite(float(state.gevd_resid))
+        if thresh > 0:
+            assert minv_changed_after_step, (
+                "residual trigger never rebuilt after the level step"
+            )
+        else:
+            assert not minv_changed_after_step, (
+                "cadence-only config rebuilt unexpectedly"
+            )
 
 
 def test_tracking_residual_precision_validation():

@@ -134,7 +134,7 @@ def main():
     def tracked(rebuild, li_in, basis="cholqr2"):
         def fn(ops):
             aa, bb, qq = ops
-            u, d, q, lam, lio, sil = jdiag_topk_tracked(
+            u, d, q, lam, lio, sil, _ = jdiag_topk_tracked(
                 aa, bb, reg, V, qq, lam0, li_in, rebuild, 1, "jacobi", 2,
                 rr_basis=basis,
             )
