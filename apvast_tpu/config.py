@@ -398,6 +398,51 @@ class ApVastConfig:
     # the 3.2 ms FD hop on TPU, and the full span is the NMSE-optimal
     # end of the trade-off — exactly what the FD engine is for.
     fd_span: str = "all"
+    # Frequency-domain engine only, with fd_span="full": solve the
+    # leakage-coupled design JOINTLY over groups of this many adjacent
+    # bins instead of bin-by-bin. fd_bin_coupling's smoothed statistics
+    # are the BLOCK-DIAGONAL approximation of the truncation-coupled
+    # quadratic (each bin holds its neighbors' filters fixed); a group
+    # solve keeps every cross-bin coupling term C_{fg} =
+    # sum_o conj(P(o)) P(o + f - g) R_{f+o} / J^2 inside the group, so
+    # within-group leakage is optimized exactly. Cost: batched
+    # (G*S*B)^2 Cholesky solves over bins/G groups per zone instead of
+    # (S*B)^2 over every bin. 1 = the per-bin smoothed design.
+    fd_group_size: int = 1
+    # With fd_span="full": number of exact-coupling refinement
+    # iterations (engine/fd_hop._coupled_refine). Damped Richardson
+    # iteration on the GLOBAL Tikhonov-regularized leakage-coupled
+    # normal equations (K^adj (A + mu B) K + mu reg I) w = K^adj r,
+    # preconditioned by the per-bin smoothed pencils; K (the J-tap
+    # truncation projection) is applied exactly via two thin matmul-DFT
+    # contractions per iteration, so unlike fd_bin_coupling (bin-
+    # diagonal only) and fd_group_size (hard group boundaries) every
+    # cross-bin coupling term is seen. 0 = the per-bin smoothed design.
+    fd_coupled_iters: int = 0
+    # Richardson relaxation factor for fd_coupled_iters.
+    fd_coupled_relax: float = 0.5
+    # Iteration scheme for fd_coupled_iters: "cg" (preconditioned CG —
+    # monotone in the operator's energy norm, the only stable choice:
+    # the coupling operator's off-diagonal row mass is ~block/J times
+    # its diagonal, so "richardson" damped fixed-point iteration
+    # diverges; kept for the measured negative result).
+    fd_coupled_method: str = "cg"
+    # With fd_group_size > 1: relative eigenvalue cutoff for a
+    # truncated-pseudo-inverse group solve. The J-tap projection makes
+    # adjacent bins within the Dirichlet coherence width (block/J bins)
+    # nearly collinear, so the group quadratic is singular to working
+    # precision: a plain solve fills its near-null space with content
+    # the WITHIN-group model deems free but which leaks across group
+    # boundaries as enormous realized filters (measured: NMSE 10^2-10^5,
+    # contrast ~0). Eigenvalues below tol * lambda_max are truncated
+    # (solution restricted to the leakage-significant subspace).
+    # 0 = plain Cholesky/LU solve (only safe for G = 1).
+    fd_group_rank_tol: float = 0.0
+    # With fd_group_size > 1: also run a half-group-shifted pass and
+    # keep each bin's solution from whichever pass places it nearest a
+    # group CENTER — removes the partition's group-boundary bins (whose
+    # in-group leakage window is one-sided) at 2x solver cost.
+    fd_group_overlap: bool = False
     # Synthesize outputs with the Pallas circular-convolution matmul
     # kernel instead of per-rank FFTs (float32 only; exact same math —
     # the J-tap filters make circular convolution one MXU contraction).
@@ -517,6 +562,38 @@ class ApVastConfig:
             raise ValueError("fd_bin_coupling must be odd and >= 1")
         if self.fd_span not in ("all", "full"):
             raise ValueError("fd_span must be 'all' or 'full'")
+        if self.fd_group_size < 1:
+            raise ValueError("fd_group_size must be >= 1")
+        if self.fd_coupled_iters < 0:
+            raise ValueError("fd_coupled_iters must be >= 0")
+        if self.fd_coupled_iters > 0:
+            if self.fd_span != "full":
+                raise ValueError(
+                    "fd_coupled_iters refines the full-span solution — "
+                    "it requires fd_span='full'"
+                )
+            if self.fd_group_size > 1:
+                raise ValueError(
+                    "fd_coupled_iters and fd_group_size are alternative "
+                    "coupled formulations — enable only one"
+                )
+        if not 0.0 < self.fd_coupled_relax <= 1.0:
+            raise ValueError("fd_coupled_relax must be in (0, 1]")
+        if self.fd_coupled_method not in ("cg", "richardson"):
+            raise ValueError("fd_coupled_method must be 'cg' or 'richardson'")
+        if self.fd_group_size > 1:
+            if self.fd_span != "full":
+                raise ValueError(
+                    "fd_group_size > 1 is the group-coupled full-span "
+                    "solve — it requires fd_span='full' (the variable-"
+                    "span 'all' path has no group formulation)"
+                )
+            if self.fd_bin_coupling <= 1:
+                raise ValueError(
+                    "fd_group_size > 1 needs fd_bin_coupling > 1: the "
+                    "coupling window is the leakage sum the group blocks "
+                    "are built from"
+                )
         if self.output_spans is not None:
             if len(self.output_spans) == 0:
                 raise ValueError("output_spans must be non-empty")
@@ -668,6 +745,16 @@ def production_overrides(device: str = "tpu") -> dict:
         # count is not a multiple of 8 (Mosaic sublane alignment).
         use_lag_statistics=on_tpu,
         lag_assembly="skew",
+        # Half-form hand-off (round 5): the skew kernel emits M with
+        # R = M + M^T and the tracking solver applies M x + M^T x via
+        # transposed dot_generals, so the (4, SJ, SJ) symmetric-
+        # completion transpose+select pass (~215 MB HBM/hop at SJ=1600)
+        # leaves the steady-state hop. Gated at 32 spk vs exact eigh
+        # (tools/tracking_gate.py): c1 -0.050 / cV -0.092 dB; sustained
+        # 128-hop A/B (tools/halfform_ab.py): 2.196 -> 2.120 ms/hop.
+        # Falls back to the completed form with the skew->dense
+        # fallback on geometries the kernel can't serve.
+        statistics_half_form=on_tpu,
         use_pallas_statistics=on_tpu,  # fallback when skew can't lower
         use_pallas_output=on_tpu,
         use_pallas_conv=on_tpu,

@@ -88,6 +88,245 @@ class FdState:
     in_spec_hist: jax.Array | None = None  # (B-1, 2, bins)
 
 
+def _project_spec(config, plan, spec):
+    """J-tap truncation projection along the trailing bins axis:
+    ifft -> truncate to filter_length taps -> fft. Under use_matmul_dft
+    both directions are thin MXU contractions against the plan's
+    (bins, J)/(J, bins) projection matrices — on TPU the size-N FFT
+    custom call decomposes into dozens of relayout-heavy small ops
+    (PERF.md round-4 breakdown). ``spec``: (..., bins) complex."""
+    if config.use_matmul_dft:
+        re, im = jnp.real(spec), jnp.imag(spec)
+        w_time = jnp.einsum(
+            "...k,kj->...j", re, plan.proj_idft_cos,
+            preferred_element_type=re.dtype,
+        ) - jnp.einsum(
+            "...k,kj->...j", im, plan.proj_idft_sin,
+            preferred_element_type=im.dtype,
+        )
+        return jnp.einsum(
+            "...j,jk->...k", w_time, plan.proj_dft_cos,
+            preferred_element_type=w_time.dtype,
+        ) - 1j * jnp.einsum(
+            "...j,jk->...k", w_time, plan.proj_dft_sin,
+            preferred_element_type=w_time.dtype,
+        )
+    block = config.block_size
+    w_time = irfft_batched(spec, block)[..., : config.filter_length]
+    return rfft_batched(w_time, block)
+
+
+def _coupled_refine(config, plan, h, cross, q_raw, reg_vec, w0):
+    """Exact-coupling iterative refinement (config.fd_coupled_iters).
+
+    The realized (J-tap-projected) bright/dark energies couple ALL bins
+    through the projection K: E(w) = sum_f (Kw)_f^H Q_f (Kw)_f. The
+    fd_bin_coupling smoothing keeps only the bin-diagonal of
+    C = K^adj Q K, and group solves (fd_group_size) cut hard group
+    boundaries inside the Dirichlet coherence width (block/J bins) —
+    both measured well short of this: damped Richardson iteration on
+    the GLOBAL Tikhonov-regularized normal equations
+
+        (K^adj (A + mu B) K + mu reg I) w = K^adj r,
+
+    preconditioned by the per-bin smoothed+loaded pencils ``h`` (the
+    exact bin-diagonal of the global operator). K is applied exactly
+    via the engine's own projection (two thin matmul-DFT contractions
+    per iteration); its adjoint comes from jax.linear_transpose over
+    the real-pair representation (K is real-linear, not
+    complex-linear: irfft implies conjugate-symmetric extension).
+
+    ``h``: (2, bins, sb, sb) preconditioner pencils; ``cross``:
+    (2, bins, sb) UNsmoothed cross vector; ``q_raw``: (2, bins, sb, sb)
+    unsmoothed A + mu*B; ``reg_vec``: (2, bins) Tikhonov scale;
+    ``w0``: (2, bins, sb) warm start (the per-bin smoothed solution).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from apvast_tpu.ops.small_chol import cholesky_small
+
+    mu = jnp.asarray(config.mu, q_raw.dtype)
+
+    def k_pair(re, im):
+        out = _project_spec(config, plan, re + 1j * im)
+        return jnp.real(out), jnp.imag(out)
+
+    # w layout for projection: (2, sb, bins) — K acts per (tap, src)
+    # row along bins.
+    ex_re = jnp.zeros((2, w0.shape[2], w0.shape[1]), jnp.real(w0).dtype)
+    k_adj = jax.linear_transpose(k_pair, ex_re, ex_re)
+
+    def apply_k(w):  # (2, bins, sb) -> (2, bins, sb)
+        s = _project_spec(config, plan, w.swapaxes(1, 2))
+        return s.swapaxes(1, 2)
+
+    def apply_k_adj(y):
+        yt = y.swapaxes(1, 2)
+        re, im = k_adj((jnp.real(yt), jnp.imag(yt)))
+        return (re + 1j * im).swapaxes(1, 2)
+
+    b = apply_k_adj(cross)
+    tik = (mu * reg_vec.astype(q_raw.dtype))[:, :, None]
+
+    def apply_c(w):
+        kw = apply_k(w)
+        qkw = jnp.einsum("zfst,zft->zfs", q_raw, kw)
+        return apply_k_adj(qkw) + tik * w
+
+    chol = cholesky_small(h.reshape(-1, h.shape[-1], h.shape[-1]))
+
+    def precond(r):
+        r2 = r.reshape(-1, r.shape[-1], 1)
+        y = solve_triangular(chol, r2, lower=True)
+        x = solve_triangular(
+            jnp.conj(chol.swapaxes(-1, -2)), y, lower=False
+        )
+        return x.reshape(r.shape)
+
+    if config.fd_coupled_method == "cg":
+        # Preconditioned CG, per-zone scalars (the operator and
+        # preconditioner are zone-block-diagonal). CG is monotone in
+        # the operator's energy norm, so a fixed small iteration count
+        # cannot diverge the way Richardson does (measured: the
+        # coupling operator's row mass is ~block/J times its diagonal,
+        # so damped fixed-point iteration explodes).
+        def zdot(a_, b_):  # Re<a,b> per zone -> (2, 1, 1)
+            return jnp.sum(
+                jnp.real(jnp.conj(a_) * b_), axis=(1, 2), keepdims=True
+            )
+
+        tiny = jnp.asarray(1e-30, jnp.real(w0).dtype)
+        x = w0
+        r = b - apply_c(x)
+        z = precond(r)
+        p = z
+        rz = zdot(r, z)
+        for _ in range(config.fd_coupled_iters):
+            ap = apply_c(p)
+            a_k = rz / jnp.maximum(zdot(p, ap), tiny)
+            x = x + a_k.astype(x.dtype) * p
+            r = r - a_k.astype(r.dtype) * ap
+            z = precond(r)
+            rz_new = zdot(r, z)
+            beta = rz_new / jnp.maximum(rz, tiny)
+            p = z + beta.astype(p.dtype) * p
+            rz = rz_new
+        return x
+
+    alpha = jnp.asarray(config.fd_coupled_relax, jnp.real(w0).dtype)
+    w = w0
+    for _ in range(config.fd_coupled_iters):
+        w = w + alpha.astype(w.dtype) * precond(b - apply_c(w))
+    return w
+
+
+def _smooth_bins(x, w, hw, nb):
+    """``sum_o w[o] * x_virtual[f + o]`` along axis 1 (bins), where
+    ``x_virtual`` mirrors conjugate-symmetrically about bin 0 (DC) and
+    bin nb-1 (Nyquist): the statistics at a virtual bin m < 0 (or past
+    Nyquist) are those of the real signal's negative-frequency line,
+    R_{-f} = conj(R_f) (h_{-f} = conj(h_f) for real inputs), so
+    DC/Nyquist neighborhoods see their true leakage environment instead
+    of zeros. ``w`` has 2*hw + 1 entries for offsets -hw..hw."""
+    xc = jnp.conj(x)
+    ext = jnp.concatenate(
+        [
+            jnp.flip(xc[:, 1 : hw + 1], axis=1),
+            x,
+            jnp.flip(xc[:, nb - 1 - hw : nb - 1], axis=1),
+        ],
+        axis=1,
+    )
+    return sum(
+        jnp.asarray(w[i], x.dtype) * ext[:, i : i + nb]
+        for i in range(2 * hw + 1)
+    )
+
+
+def _solve_bin_groups(config, h_diag, q_raw, cross_d, p0, offs, shift):
+    """Group-coupled full-span solve (config.fd_group_size = G > 1).
+
+    The J-tap truncation projection makes the realized (projected)
+    bright/dark energies couple bins: the exact quadratic has blocks
+    C_{fg} = sum_o conj(P(o)) P(o + f - g) R_{f+o} / J^2, of which
+    fd_bin_coupling's smoothing keeps only f = g. This solves the
+    design jointly over groups of G adjacent bins — every within-group
+    coupling block kept — as bins/G batched (G*S*B)^2 Hermitian solves
+    per zone. ``h_diag`` (2, bins, sb, sb) is the loaded smoothed
+    diagonal (identical to the G = 1 pencils); ``q_raw``
+    (2, bins, sb, sb) is the unsmoothed combined pencil A + mu*B the
+    off-diagonal blocks are built from; ``shift`` offsets the group
+    partition (the fd_group_overlap second pass).
+
+    Returns w: (2, bins, sb).
+    """
+    g = config.fd_group_size
+    hw = config.fd_bin_coupling // 2
+    nb = config.num_bins
+    j = config.filter_length
+    sb = h_diag.shape[-1]
+    block = config.block_size
+
+    def dirichlet(o):
+        return np.exp(
+            -2j * np.pi * np.outer(o, np.arange(j)) / block
+        ).sum(axis=1)
+
+    blocks_by_delta = {0: h_diag}
+    for d in range(-(g - 1), g):
+        if d == 0:
+            continue
+        w_d = np.conj(p0) * dirichlet(offs + d) / j**2
+        blocks_by_delta[d] = _smooth_bins(q_raw, w_d, hw, nb)
+
+    ngroups = -(-(nb + shift) // g)
+    nbp = ngroups * g
+    back = nbp - nb - shift
+    def padfn(x):
+        if not (shift or back):
+            return x
+        return jnp.pad(x, ((0, 0), (shift, back)) + ((0, 0),) * (x.ndim - 2))
+
+    blocks = {d: padfn(v) for d, v in blocks_by_delta.items()}
+    rows = []
+    for i in range(g):
+        # Group gg, slot i is padded bin gg*g + i -> blocks[d][:, i::g].
+        row = [blocks[i - jj][:, i::g] for jj in range(g)]
+        rows.append(jnp.stack(row, axis=3))  # (2, ngroups, sb, g, sb)
+    hg = jnp.stack(rows, axis=2)  # (2, ngroups, g, sb, g, sb)
+    gs = g * sb
+    hg = hg.reshape(2, ngroups, gs, gs)
+    rhs = padfn(cross_d).reshape(2, ngroups, gs, 1)
+    if shift or back:
+        # Padding slots: zero their rows/columns/rhs and put 1 on the
+        # diagonal so the padded system stays PD and returns w = 0 there.
+        vm = (
+            (jnp.arange(nbp) >= shift) & (jnp.arange(nbp) < shift + nb)
+        ).reshape(ngroups, g)
+        vm = jnp.repeat(vm, sb, axis=1).astype(hg.real.dtype)
+        hg = hg * vm[None, :, :, None] * vm[None, :, None, :]
+        hg = hg + (1.0 - vm)[None, :, :, None] * jnp.eye(gs, dtype=hg.dtype)
+        rhs = rhs * vm[None, :, :, None]
+    # The o-window truncation breaks exact block-Hermitian pairing at
+    # O(window tail); symmetrize before the PD solve.
+    hg = 0.5 * (hg + jnp.conj(hg.swapaxes(-1, -2)))
+    hg = hg.reshape(2 * ngroups, gs, gs)
+    rhs = rhs.reshape(2 * ngroups, gs, 1)
+    tol = config.fd_group_rank_tol
+    if tol > 0:
+        # Truncated pseudo-inverse: the group quadratic is singular to
+        # working precision (see config.fd_group_rank_tol) — restrict
+        # the solution to eigen-directions carrying real leakage energy.
+        wl, ul = jnp.linalg.eigh(hg)
+        cut = jnp.asarray(tol, wl.dtype) * wl[..., -1:]
+        inv = jnp.where(wl > cut, 1.0 / jnp.maximum(wl, 1e-30), 0.0)
+        bz = jnp.einsum("bji,bjk->bik", jnp.conj(ul), rhs)
+        x = jnp.einsum("bij,bjk->bik", ul, inv[..., None] * bz)
+    else:
+        x = jnp.linalg.solve(hg, rhs)
+    return x.reshape(2, nbp, sb)[:, shift : shift + nb]
+
+
 def init_fd_state(
     config: ApVastConfig, key: jax.Array | None = None
 ) -> FdState:
@@ -250,27 +489,8 @@ def process_hop_fd(
         ).sum(axis=1)
         w_cov = np.abs(p_o) ** 2 / config.filter_length**2
         w_cross = np.conj(p_o) / config.filter_length
-
-        def smooth_bins(x, w):
-            # sum_o w[o] * x_virtual[f + o] along axis 1 (bins), where
-            # x_virtual mirrors conjugate-symmetrically about bin 0 (DC)
-            # and bin nb-1 (Nyquist).
-            xc = jnp.conj(x)
-            ext = jnp.concatenate(
-                [
-                    jnp.flip(xc[:, 1 : hw + 1], axis=1),
-                    x,
-                    jnp.flip(xc[:, nb - 1 - hw : nb - 1], axis=1),
-                ],
-                axis=1,
-            )
-            return sum(
-                jnp.asarray(w[i], x.dtype) * ext[:, i : i + nb]
-                for i in range(len(offs))
-            )
-
-        cov_d = smooth_bins(cov, w_cov)
-        cross_d = smooth_bins(cross, w_cross)
+        cov_d = _smooth_bins(cov, w_cov, hw, nb)
+        cross_d = _smooth_bins(cross, w_cross, hw, nb)
 
     # ---- batched per-bin Hermitian GEVD -------------------------------
     # Zone A pencil per bin: (cov[AA], cov[AB]); zone B: (cov[BB], cov[BA]).
@@ -296,11 +516,52 @@ def process_hop_fd(
         from apvast_tpu.ops.small_chol import posdef_solve_small
 
         h = a_stack + jnp.asarray(config.mu, b_loaded.dtype) * b_loaded
-        # Unrolled tiny-batch Cholesky: jnp.linalg.cholesky's LAPACK-
-        # shaped custom call measures 1.39 ms/hop at (1602, 8, 8) on
-        # v5e — the most expensive op in the whole FD hop.
-        w = posdef_solve_small(h, cross_d.reshape(2 * bins, sb, 1))
-        w_all = w.reshape(2, bins, 1, sb)  # (2, bins, V_out=1, sb)
+        if config.fd_group_size > 1:
+            # Group-coupled solve (see _solve_bin_groups): within-group
+            # leakage coupling kept exactly instead of block-diagonally.
+            g = config.fd_group_size
+            q_raw = cov[jnp.asarray([0, 3])] + jnp.asarray(
+                config.mu, cov.dtype
+            ) * cov[jnp.asarray([1, 2])]
+            h_diag = h.reshape(2, bins, sb, sb)
+            w = _solve_bin_groups(
+                config, h_diag, q_raw, cross_d, p_o, offs, 0
+            )
+            if config.fd_group_overlap:
+                # Half-shifted second partition; keep each bin from the
+                # pass that places it nearest a group center (the
+                # partition's boundary bins see a one-sided in-group
+                # leakage window).
+                w1 = _solve_bin_groups(
+                    config, h_diag, q_raw, cross_d, p_o, offs, g // 2
+                )
+                f = np.arange(bins)
+                d0 = np.abs((f % g) - (g - 1) / 2)
+                d1 = np.abs(((f + g // 2) % g) - (g - 1) / 2)
+                use1 = jnp.asarray(d1 < d0)
+                w = jnp.where(use1[None, :, None], w1, w)
+            w_all = w.reshape(2, bins, 1, sb)
+        else:
+            # Unrolled tiny-batch Cholesky: jnp.linalg.cholesky's LAPACK-
+            # shaped custom call measures 1.39 ms/hop at (1602, 8, 8) on
+            # v5e — the most expensive op in the whole FD hop.
+            w = posdef_solve_small(h, cross_d.reshape(2 * bins, sb, 1))
+            if config.fd_coupled_iters > 0:
+                # Exact-coupling refinement toward the GLOBAL Tikhonov-
+                # regularized leakage-aware design (see _coupled_refine).
+                q_raw = cov[jnp.asarray([0, 3])] + jnp.asarray(
+                    config.mu, cov.dtype
+                ) * cov[jnp.asarray([1, 2])]
+                w = _coupled_refine(
+                    config,
+                    plan,
+                    h.reshape(2, bins, sb, sb),
+                    cross,
+                    q_raw,
+                    reg_vec.reshape(2, bins),
+                    w.reshape(2, bins, sb),
+                )
+            w_all = w.reshape(2, bins, 1, sb)  # (2, bins, V_out=1, sb)
     else:
         if config.fd_eigh == "jacobi" and dtype != jnp.float32:
             raise ValueError(

@@ -379,13 +379,11 @@ def process_hop(
         # multiple of 8 (Mosaic block sublane alignment); fall back to
         # the dense statistics path for other geometries.
         use_lag = False
+    # Half-form rides the skew kernel; when the geometry forced the
+    # dense fallback above, fall back to the completed form with it
+    # (same silent-degrade convention as the skew fallback itself —
+    # both are internal representation toggles, not quality knobs).
     half_form = config.statistics_half_form and use_lag
-    if config.statistics_half_form and not use_lag:
-        raise ValueError(
-            "statistics_half_form needs the skew statistics kernel, "
-            f"which requires num_srcs % 8 == 0 (got {s}); disable the "
-            "half form for this geometry"
-        )
     tap_major = use_lag and config.lag_assembly == "tap"
     if use_lag:
         from apvast_tpu.ops.lag_statistics import (

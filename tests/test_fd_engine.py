@@ -426,3 +426,87 @@ def test_fd_matmul_dft_matches_fft_path(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=3e-5 * scale, rtol=0
         )
+
+
+def test_fd_group_solve_reduces_to_per_bin_without_leakage(rng):
+    """fd_group_size > 1 (the group-coupled full-span solve): with
+    filter_length == block_size the J-tap truncation keeps every tap,
+    so the Dirichlet kernel P(o) vanishes for o != 0 — every
+    off-diagonal coupling block is exactly zero and the group solve
+    must reproduce the per-bin solution (also exercises the
+    pad-to-group-multiple masking: 33 bins, G=4)."""
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(60, 3, 2, seed=3)
+    rir_b = synthetic_rirs(60, 3, 2, seed=4)
+    common = dict(
+        block_size=64, rir_a=rir_a, rir_b=rir_b, filter_length=64,
+        modeling_delay=3, reference_index_a=0, reference_index_b=1,
+        number_of_eigenvectors=3, mu=1.0, sampling_rate=8000,
+        perceptual=False, fd_span="full", fd_bin_coupling=5,
+        dtype="float32",
+    )
+    sa = rng.standard_normal(32 * 8)
+    sb = rng.standard_normal(32 * 8)
+    m1 = ApVastFD(key=jax.random.key(0), **common)
+    m2 = ApVastFD(
+        key=jax.random.key(0), fd_group_size=4, fd_group_rank_tol=1e-7,
+        **common,
+    )
+    for a, b in zip(m1.process_signals(sa, sb), m2.process_signals(sa, sb)):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4 * scale, rtol=0
+        )
+
+
+def test_fd_coupled_iters_fixed_point_without_leakage(rng):
+    """fd_coupled_iters (exact-coupling PCG refinement): with
+    filter_length == block_size the projection K is the identity, the
+    global coupled operator collapses to the per-bin loaded pencils,
+    and the per-bin solution is already the exact fixed point — CG
+    iterations must leave it unchanged. Validates the operator apply,
+    the linear_transpose adjoint, and the preconditioner wiring."""
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    rir_a = synthetic_rirs(60, 3, 2, seed=3)
+    rir_b = synthetic_rirs(60, 3, 2, seed=4)
+    common = dict(
+        block_size=64, rir_a=rir_a, rir_b=rir_b, filter_length=64,
+        modeling_delay=3, reference_index_a=0, reference_index_b=1,
+        number_of_eigenvectors=3, mu=1.0, sampling_rate=8000,
+        perceptual=False, fd_span="full", dtype="float32",
+    )
+    sa = rng.standard_normal(32 * 8)
+    sb = rng.standard_normal(32 * 8)
+    m1 = ApVastFD(key=jax.random.key(0), **common)
+    m2 = ApVastFD(key=jax.random.key(0), fd_coupled_iters=4, **common)
+    for a, b in zip(m1.process_signals(sa, sb), m2.process_signals(sa, sb)):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4 * scale, rtol=0
+        )
+
+
+def test_fd_coupled_config_validation():
+    import dataclasses
+
+    from apvast_tpu.config import ApVastConfig
+
+    base = ApVastConfig(
+        rir_length=60, num_srcs=3, num_mics=2, block_size=64,
+        filter_length=16, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=3, mu=1.0,
+        statistics_buffer_length=33, sampling_rate=8000,
+        perceptual=False, fd_span="full",
+    )
+    with pytest.raises(ValueError, match="fd_span='full'"):
+        dataclasses.replace(base, fd_span="all", fd_group_size=4,
+                            fd_bin_coupling=5, num_eigenvectors=2)
+    with pytest.raises(ValueError, match="fd_bin_coupling"):
+        dataclasses.replace(base, fd_group_size=4)
+    with pytest.raises(ValueError, match="alternative"):
+        dataclasses.replace(base, fd_group_size=4, fd_bin_coupling=5,
+                            fd_coupled_iters=2)
+    with pytest.raises(ValueError, match="fd_coupled_method"):
+        dataclasses.replace(base, fd_coupled_method="jacobi")

@@ -53,10 +53,10 @@ def main():
 
     cases = [
         ("exact-eigh", dict(gevd_solver=GevdSolver.EIGH)),
-        ("trk s1 T8 w6", {}),  # the blessed production point (round 4)
-        ("trk T8 direct", dict(tracking_rr_basis="direct")),
-        ("trk T16 direct", dict(
-            tracking_rebuild_period=16, tracking_rr_basis="direct")),
+        ("trk blessed", {}),  # the blessed production point (r4: T16 direct)
+        ("trk half-form", dict(statistics_half_form=True)),
+        ("trk half+resid", dict(
+            statistics_half_form=True, tracking_residual_rebuild=0.35)),
     ]
     base = None
     for nm, extra in cases:
