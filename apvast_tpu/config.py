@@ -539,23 +539,14 @@ class ApVastConfig:
             raise ValueError(
                 "lag_assembly must be one of 'wide', 'pair', 'tap', 'skew'"
             )
-        if self.statistics_half_form:
-            if not (
-                self.use_lag_statistics
-                and self.lag_assembly == "skew"
-                and self.gevd_solver is GevdSolver.SUBSPACE
-                and self.subspace_whiten == "tracking"
-            ):
-                raise ValueError(
-                    "statistics_half_form requires the skew lag "
-                    "statistics path and the tracking GEVD solver (the "
-                    "other solvers consume the completed matrix)"
-                )
-            if self.regularization is not RegularizationVariant.PYTHON:
-                raise ValueError(
-                    "statistics_half_form supports PYTHON regularization "
-                    "only (norm-based loading needs the completed matrix)"
-                )
+        # statistics_half_form composes as a best-effort representation
+        # toggle: the engine applies it only when the full pipeline
+        # supports it (skew lag statistics feeding the tracking solver)
+        # and silently falls back to completed matrices otherwise — so
+        # production_overrides stays composable with solver overrides
+        # (e.g. the exact-eigh quality oracle). The one hard error
+        # (non-PYTHON regularization with an ACTIVE half form) is
+        # raised by the engine at trace time.
         if self.fd_frame_taps < 1:
             raise ValueError("fd_frame_taps must be >= 1")
         if self.fd_bin_coupling < 1 or self.fd_bin_coupling % 2 != 1:
@@ -728,14 +719,24 @@ def production_overrides(device: str = "tpu") -> dict:
         # (jl, jl) factorization every hop for every stream).
         subspace_whiten="tracking" if on_tpu else "invert",
         tracking_outer_steps=1,
-        # T16 + direct RR basis: gated at 32 speakers vs exact eigh
-        # (tools/tracking_gate.py, 24 hops): c1 -0.058 / cV -0.022 dB —
-        # the tightest deltas of any tracking variant, with the
-        # CholeskyQR2 pass and 1/3 of the solver's big matmuls removed
-        # and half the rebuild cadence.
-        tracking_rebuild_period=16,
+        # T32 + direct RR basis + residual-triggered rebuild fallback
+        # (round 5). Gated at 32 speakers vs exact eigh
+        # (tools/tracking_gate.py, 64 hops = 2 full periods):
+        # c1 +0.078 / cV -0.023 dB; sustained 128-hop A/B
+        # (tools/halfform_ab.py): T16 2.130 -> T32+r2.5 2.055 ms/hop
+        # (RTF 8.11x). The residual threshold 2.5 comes from
+        # tools/resid_profile.py: the stationary Ritz-residual band is
+        # 0.6-1.4 (occasional 2.0) while a +20 dB program level step
+        # spikes it to ~3.1 — so the fallback rebuilds on genuine
+        # nonstationarity but never on stationary material (measured:
+        # identical hops and quality to plain T32 on white noise;
+        # threshold 0.35 degenerated to rebuild-every-hop at
+        # 3.25 ms/hop). Long-horizon nonstationarity evidence:
+        # tools/tracking_horizon.py.
+        tracking_rebuild_period=32,
         tracking_warmup_hops=6,
         tracking_rr_basis="direct",
+        tracking_residual_rebuild=2.5,
         # Statistics: skew-assembly lag engine (round 3) — the Toeplitz
         # structure cuts the covariance FLOPs ~J-fold and the fused
         # Pallas assembly removes the relayout passes. Measured

@@ -379,11 +379,25 @@ def process_hop(
         # multiple of 8 (Mosaic block sublane alignment); fall back to
         # the dense statistics path for other geometries.
         use_lag = False
-    # Half-form rides the skew kernel; when the geometry forced the
-    # dense fallback above, fall back to the completed form with it
-    # (same silent-degrade convention as the skew fallback itself —
-    # both are internal representation toggles, not quality knobs).
-    half_form = config.statistics_half_form and use_lag
+    # Half-form rides the skew kernel INTO the tracking solver; when
+    # the geometry forced the dense fallback above, or the config uses
+    # a solver that consumes completed matrices (e.g. the exact-eigh
+    # quality oracle overriding production_overrides), fall back to the
+    # completed form (same silent-degrade convention as the skew
+    # fallback itself — both are internal representation toggles, not
+    # quality knobs).
+    half_form = (
+        config.statistics_half_form
+        and use_lag
+        and config.lag_assembly == "skew"
+        and config.gevd_solver is GevdSolver.SUBSPACE
+        and config.subspace_whiten == "tracking"
+    )
+    if half_form and config.regularization is not RegularizationVariant.PYTHON:
+        raise ValueError(
+            "statistics_half_form supports PYTHON regularization only "
+            "(norm-based loading needs the completed matrix)"
+        )
     tap_major = use_lag and config.lag_assembly == "tap"
     if use_lag:
         from apvast_tpu.ops.lag_statistics import (

@@ -278,19 +278,49 @@ def test_statistics_half_form_engine_quality_and_validation():
         )
     assert abs(cons[True] - cons[False]) < 0.05, cons
 
-    with pytest.raises(ValueError, match="tracking"):
-        dataclasses.replace(
-            base, statistics_half_form=True, subspace_whiten="invert"
+    # half_form composes as a best-effort toggle (round 5: it is part
+    # of production_overrides, which must stay composable with solver
+    # overrides like the exact-eigh quality oracle): with a pipeline
+    # that can't consume the half form the engine silently falls back
+    # to completed matrices and must produce the same contrast.
+    for over in (
+        dict(subspace_whiten="invert"),
+        dict(lag_assembly="wide"),
+    ):
+        cfg = dataclasses.replace(base, statistics_half_form=True, **over)
+        plan = build_plan(cfg, ra, rb)
+        st = init_state(cfg, key=jax.random.key(0))
+        _, o = run_stream(cfg, plan, st, sa, sb)
+        f = np.asarray(o.out_a)[nh // 2 :, 0].reshape(-1, 4)
+        con = float(
+            acoustic_contrast_db(
+                predict_pressure(f, ra), predict_pressure(f, rb)
+            )
         )
-    with pytest.raises(ValueError, match="skew"):
-        dataclasses.replace(
-            base, statistics_half_form=True, lag_assembly="wide"
+        ref = dataclasses.replace(base, statistics_half_form=False, **over)
+        plan_r = build_plan(ref, ra, rb)
+        _, o_r = run_stream(ref, plan_r, init_state(ref, key=jax.random.key(0)), sa, sb)
+        f_r = np.asarray(o_r.out_a)[nh // 2 :, 0].reshape(-1, 4)
+        con_r = float(
+            acoustic_contrast_db(
+                predict_pressure(f_r, ra), predict_pressure(f_r, rb)
+            )
         )
+        assert abs(con - con_r) < 1e-5, (over, con, con_r)
+
+    # The one hard error: non-PYTHON regularization with an ACTIVE
+    # half form (norm-based loading needs the completed matrix) —
+    # raised by the engine at trace time.
+    cfg_bad = dataclasses.replace(
+        base,
+        statistics_half_form=True,
+        regularization=RegularizationVariant.MATLAB,
+    )
+    plan_bad = build_plan(cfg_bad, ra, rb)
     with pytest.raises(ValueError, match="PYTHON regularization"):
-        dataclasses.replace(
-            base,
-            statistics_half_form=True,
-            regularization=RegularizationVariant.MATLAB,
+        run_stream(
+            cfg_bad, plan_bad, init_state(cfg_bad, key=jax.random.key(0)),
+            sa, sb,
         )
 
 

@@ -32,10 +32,12 @@ def main():
     nh = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cases = [
-        ("blessed", {}),
-        ("half-form", dict(statistics_half_form=True)),
-        ("half+resid", dict(statistics_half_form=True,
-                            tracking_residual_rebuild=0.35)),
+        ("blessed", {}),  # r5: T16 + half-form
+        ("T32", dict(tracking_rebuild_period=32)),
+        # Residual threshold calibrated by tools/resid_profile.py
+        # (stationary band 0.6-1.4, +20 dB step spikes ~3.1).
+        ("T32 r2.5", dict(tracking_rebuild_period=32,
+                          tracking_residual_rebuild=2.5)),
     ]
     for nm, extra in cases:
         over = production_overrides()

@@ -53,10 +53,12 @@ def main():
 
     cases = [
         ("exact-eigh", dict(gevd_solver=GevdSolver.EIGH)),
-        ("trk blessed", {}),  # the blessed production point (r4: T16 direct)
-        ("trk half-form", dict(statistics_half_form=True)),
-        ("trk half+resid", dict(
-            statistics_half_form=True, tracking_residual_rebuild=0.35)),
+        ("trk blessed", {}),  # blessed production (r5: T16 + half-form)
+        ("trk T32", dict(tracking_rebuild_period=32)),
+        # Residual threshold from tools/resid_profile.py: stationary
+        # band 0.6-1.4 (occasional 2.0), +20 dB step spikes to ~3.1.
+        ("trk T32 r2.5", dict(
+            tracking_rebuild_period=32, tracking_residual_rebuild=2.5)),
     ]
     base = None
     for nm, extra in cases:
