@@ -459,6 +459,24 @@ def jdiag_topk_pencil_batched(
         bad_d, dtype=jnp.int32
     )
     ritz = jnp.where(jnp.isfinite(ritz), ritz, q_init)
+    # Zone-wise degeneracy guard (same failure mode as the tracked
+    # solver, see jdiag_topk_tracked): a silence-collapsed pencil can
+    # underflow the carried warm-start to exactly zero THROUGH the
+    # isfinite guard (cholqr2 of a ~zero block is finite zero); a zero
+    # warm start is absorbing. Restart such zones from q_init's
+    # sanitized value or identity columns.
+    fin_r = jnp.isfinite(ritz).all(axis=(-2, -1))
+    cn_r = jnp.min(jnp.sum(ritz * ritz, axis=-2), axis=-1)
+    ok_r = fin_r & (cn_r > jnp.asarray(1e-20, cn_r.dtype))
+    eye_nk_ = jnp.broadcast_to(
+        jnp.eye(ritz.shape[1], dtype=ritz.dtype)[:, : ritz.shape[-1]],
+        ritz.shape,
+    )
+    fin_q0 = jnp.isfinite(q_init).all(axis=(-2, -1))
+    cn_q0 = jnp.min(jnp.sum(q_init * q_init, axis=-2), axis=-1)
+    ok_q0 = fin_q0 & (cn_q0 > jnp.asarray(1e-20, cn_q0.dtype))
+    fb = jnp.where(ok_q0[:, None, None], q_init, eye_nk_)
+    ritz = jnp.where(ok_r[:, None, None], ritz, fb)
     u = jnp.where(bad_u, 0, u)
     d_desc = jnp.where(bad_d, 0, d_desc)
     # A NaN M self-heals: next hop's residual is NaN -> not healthy ->
@@ -547,6 +565,33 @@ def jdiag_topk_tracked(
     eye = jnp.eye(n, dtype=dtype)
     hi = jax.lax.Precision.HIGH
     hst = jax.lax.Precision.HIGHEST
+
+    # ---- basis-health guard (round-5 horizon-gate fix) ----------------
+    # A sustained TRUE-silence gap collapses the pencil: the Ritz values
+    # decay geometrically and the inner cholqr2 of a ~zero RR matrix
+    # returns an EXACTLY-ZERO (finite) factor, so zero propagates into
+    # the carried basis THROUGH every non-finite guard (0 x finite = 0,
+    # no NaNs anywhere). A zero basis is then absorbing: zero RR pencil
+    # -> zero basis out, and its block residual is 0/tiny = 0 — BELOW
+    # any rebuild threshold, so the residual fallback is blind too.
+    # Measured (tools/silence_probe.py, 32 spk): carried q underflows to
+    # all-zero on the 7th silent hop and the engine stays silent for the
+    # rest of the stream while exact eigh recovers immediately.
+    # Guard ZONE-WISE: a basis is healthy iff all-finite AND no column
+    # has (near-)underflowed. Unhealthy zones restart from identity
+    # columns — full-rank, and the exact-pencil Rayleigh-Ritz plus the
+    # forced rebuild reconverge it within an outer step or two once
+    # statistics return.
+    eye_nk = jnp.broadcast_to(eye[:, :k], (z, n, k))
+
+    def _basis_healthy(qz):
+        fin = jnp.isfinite(qz).all(axis=(-2, -1))
+        cn = jnp.min(jnp.sum(qz * qz, axis=-2), axis=-1)
+        return fin & (cn > jnp.asarray(1e-20, cn.dtype))
+
+    healthy0 = _basis_healthy(q_init)
+    q_init = jnp.where(healthy0[:, None, None], q_init, eye_nk)
+    lam_init = jnp.where(healthy0[:, None], lam_init, 0.0)
 
     if half_form:
         def _tmm(m, x, prec):
@@ -715,12 +760,24 @@ def jdiag_topk_tracked(
     )
     u = jnp.where(bad_u, 0, u)
     dd = jnp.where(bad_d, 0, dd)
-    # Non-finite carries self-heal: fall back to the incoming values so
-    # one degenerate hop cannot poison the tracker permanently. (The Li
-    # carry is healed inside the rebuild branch above — on every other
-    # hop it is passed through untouched.)
+    # Carries self-heal: non-finite entries fall back to the incoming
+    # values, and a zone whose outgoing basis went DEGENERATE (zero /
+    # underflowed columns — finite, so the isfinite guard alone cannot
+    # see it) falls back to the sanitized entry basis, so one collapsed
+    # hop cannot poison the tracker permanently. (The Li carry is
+    # healed inside the rebuild branch above — on every other hop it is
+    # passed through untouched.)
     q = jnp.where(jnp.isfinite(q), q, q_init)
     lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
+    healthy1 = _basis_healthy(q)
+    q = jnp.where(healthy1[:, None, None], q, q_init)
+    lam = jnp.where(healthy1[:, None], lam, lam_init)
+    # A degenerate hop (either direction) must also force the caller's
+    # rebuild path: the zero-basis block residual reads 0, so report
+    # +inf instead of a value below every threshold.
+    resid_rel = jnp.where(
+        jnp.all(healthy0) & jnp.all(healthy1), resid_rel, jnp.inf
+    )
     return u, dd, q, lam, li, silenced, resid_rel
 
 

@@ -443,3 +443,62 @@ def test_tracking_direct_rr_basis_quality():
             )
         )
     assert abs(cons["direct"] - cons["cholqr2"]) < 0.25, cons
+
+
+def test_tracking_recovers_after_true_silence():
+    """Round-5 horizon-gate regression: a sustained TRUE-silence gap
+    collapses the pencil until the inner cholqr2 of a ~zero RR matrix
+    underflows the carried basis to EXACTLY zero — finite, so it walks
+    through every isfinite guard — and a zero basis is absorbing (its
+    block residual reads 0, below every rebuild threshold). Measured at
+    32 spk on TPU: silent output for the remaining 768 hops of a
+    1024-hop program stream while exact eigh recovered immediately.
+    The zone-wise basis-health guard must restart collapsed zones and
+    the engine must recover full contrast after the gap."""
+    from apvast_tpu.config import ApVastConfig
+    from apvast_tpu.utils.rir import synthetic_rirs
+
+    cfg = ApVastConfig(
+        rir_length=64, num_srcs=4, num_mics=8, block_size=64,
+        filter_length=8, modeling_delay=3, reference_index_a=0,
+        reference_index_b=1, num_eigenvectors=4, mu=1.0,
+        statistics_buffer_length=96, sampling_rate=8000, perceptual=False,
+        dtype="float32", gevd_solver=GevdSolver.SUBSPACE,
+        subspace_whiten="tracking", tracking_warmup_hops=2,
+        tracking_rebuild_period=32, tracking_rr_basis="direct",
+        tracking_residual_rebuild=2.5,
+        use_lag_statistics=True, lag_assembly="skew",
+        statistics_half_form=True,
+    )
+    ra = synthetic_rirs(64, 4, 8, seed=1)
+    rb = synthetic_rirs(64, 4, 8, seed=2)
+    plan = build_plan(cfg, ra, rb)
+    st = init_state(cfg, key=jax.random.key(0))
+    rng = np.random.default_rng(5)
+    hop = cfg.hop
+    fn = jax.jit(lambda s, a, b: process_hop(cfg, plan, s, a, b))
+    tail = []
+    for h in range(60):
+        if 16 <= h < 36:  # 20 hops of exact silence
+            a = np.zeros(hop, np.float32)
+            b = np.zeros(hop, np.float32)
+        else:
+            a = rng.standard_normal(hop).astype(np.float32)
+            b = rng.standard_normal(hop).astype(np.float32)
+        st, out = fn(st, jnp.asarray(a), jnp.asarray(b))
+        # The carried basis must NEVER go degenerate (the absorbing
+        # state): all-finite with no underflowed column.
+        q = st.gevd_q
+        assert bool(jnp.isfinite(q).all()), h
+        cn = float(jnp.min(jnp.sum(q * q, axis=-2)))
+        assert cn > 1e-20, (h, cn)
+        if h >= 44:  # well after signal returns
+            tail.append(np.asarray(out.out_a)[0].reshape(-1, 4))
+    f = np.concatenate(tail, axis=0)
+    assert np.isfinite(f).all()
+    con = float(
+        acoustic_contrast_db(predict_pressure(f, ra), predict_pressure(f, rb))
+    )
+    # The mini scene supports modest contrast; the point is non-zero,
+    # recovered output (the broken solver reads -inf/0 here).
+    assert con > 3.0, con
