@@ -778,11 +778,17 @@ def main() -> int:
     # >= 900 s compile grace. A killed child no longer blanket-vetoes the
     # remaining children: the tunnel is re-probed and measurement
     # continues while it answers.
+    # fd compile grace: the COLD full-span FD stream compile measured
+    # > 600 s on this container's single host core (2026-08-20 run:
+    # "killed: no output for 600s (mid-compile)", after which the
+    # mid-compile kill wedged the tunnel and vetoed tpu-scale) — give
+    # it 1200 s. With the repo-local .jax_cache warm these graces are
+    # never reached; they only bound the cold-cache worst case.
     secondary: dict[str, _ChildResult] = {}
     for mode, floor, total_cap, compile_grace in (
         ("live", 240, 600, 480),
         ("streams8", 300, 700, 480),
-        ("fd", 360, 900, 600),
+        ("fd", 360, 1500, 1200),
         ("tpu-scale", 420, 1500, 1000),
     ):
         if not tpu_ok:

@@ -59,6 +59,11 @@ def main():
         # band 0.6-1.4 (occasional 2.0), +20 dB step spikes to ~3.1.
         ("trk T32 r2.5", dict(
             tracking_rebuild_period=32, tracking_residual_rebuild=2.5)),
+        # Steady-state the carried Ritz basis keeps the RR pencil near
+        # diagonal, so one cyclic-Jacobi sweep may suffice between
+        # rebuilds (the residual fallback covers drift) — the RR
+        # small-eigh is ~119 us/hop of the 32-spk budget at 2 sweeps.
+        ("trk s1", dict(jacobi_sweeps=1)),
     ]
     base = None
     for nm, extra in cases:
