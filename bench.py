@@ -440,9 +440,14 @@ def measure_fd() -> int:
         print(json.dumps(result), flush=True)
 
         # Quality in the SAME artifact (VERDICT r4 #5): contrast A/B and
-        # NMSE of the operating point just timed, from a fresh-state run
-        # of the already-compiled stream on the same signals. Analysis
-        # mode ("allranks") is speed-only — its quality points are the
+        # NMSE of the operating point just timed. Measured on the
+        # 16-hop harness the pinned quality tests use
+        # (tests/test_fd_engine.py: 16 hops, per-hop rng(4) draws,
+        # second half evaluated) so the artifact fields are directly
+        # comparable to the committed regression floors — a 128-hop
+        # forgetting-0.97 steady state reads ~2-3 dB lower and would
+        # look like a silent regression next to them. Analysis mode
+        # ("allranks") is speed-only — its quality points are the
         # per-rank trade-off curve, not one number.
         if key_name == "allranks_rtf":
             continue
@@ -452,9 +457,18 @@ def measure_fd() -> int:
                 acoustic_contrast_db, normalized_mse, predict_pressure,
             )
 
+            q_hops = 16
+            qrng = np.random.default_rng(4)
+            qa, qb = [], []
+            for _ in range(q_hops):  # the pinned tests' draw order
+                qa.append(qrng.standard_normal(m.config.hop))
+                qb.append(qrng.standard_normal(m.config.hop))
+            qsig_a = jnp.asarray(np.concatenate(qa), jnp.float32)
+            qsig_b = jnp.asarray(np.concatenate(qb), jnp.float32)
+
             def quality(plan, state, sa, sb, ra, rb):
                 st, outs = m._stream_fn(plan, state, sa, sb)
-                warm = num_hops // 2
+                warm = q_hops // 2
                 # outs.out_a: (hops, v, hop, srcs) — last solution is the
                 # span rank the operating point claims; targets are
                 # (hops, hop, srcs).
@@ -479,7 +493,7 @@ def measure_fd() -> int:
             _mark(f"COMPILE fd quality {key_name}")
             ca, cb, na, nb, sil = jax.jit(quality)(
                 m.plan, init_fd_state(m.config, key=jax.random.key(0)),
-                sig_a, sig_b,
+                qsig_a, qsig_b,
                 jnp.asarray(rir_a, jnp.float32),
                 jnp.asarray(rir_b, jnp.float32),
             )

@@ -9,7 +9,7 @@ steady-state band (or the trigger degenerates into rebuild-every-hop —
 measured 3.25 vs 2.12 ms/hop at threshold 0.35) and BELOW the step
 spike.
 
-Usage: resid_profile.py [nsrc] [num_hops] [rebuild_period]
+Usage: resid_profile.py [nsrc] [num_hops] [rebuild_period] [jacobi_sweeps]
 """
 
 from __future__ import annotations
@@ -38,6 +38,8 @@ def main():
 
     over = production_overrides()
     over.update(tracking_rebuild_period=period)
+    if len(sys.argv) > 4:
+        over.update(jacobi_sweeps=int(sys.argv[4]))
     sc = scale_scene(nsrc, **over)
     cfg = sc.config
     plan = build_plan(cfg, sc.rir_a, sc.rir_b)

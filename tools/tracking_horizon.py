@@ -63,6 +63,10 @@ def main():
     if "--resid" in sys.argv:
         resid_t = float(sys.argv[sys.argv.index("--resid") + 1])
         args = [a for a in args if a != str(resid_t)]
+    sweeps = None
+    if "--sweeps" in sys.argv:
+        sweeps = int(sys.argv[sys.argv.index("--sweeps") + 1])
+        args = [a for a in args if a != str(sweeps)]
     nsrc = int(args[0]) if len(args) > 0 else 16
     num_hops = int(args[1]) if len(args) > 1 else 1024
     seg_hops = int(args[2]) if len(args) > 2 else 64
@@ -84,12 +88,13 @@ def main():
     sig_a, levels = program_signal(rng, num_hops, 800, seg_hops)
     sig_b, _ = program_signal(rng, num_hops, 800, seg_hops)
 
+    trk = {} if sweeps is None else dict(jacobi_sweeps=sweeps)
     cases = [("exact-eigh", dict(gevd_solver=GevdSolver.EIGH))]
-    cases.append(("tracking (blessed)", {}))
+    cases.append(("tracking (blessed)", dict(trk)))
     if resid_t is not None:
         cases.append(
             (f"tracking resid>{resid_t}",
-             dict(tracking_residual_rebuild=resid_t)),
+             dict(trk, tracking_residual_rebuild=resid_t)),
         )
 
     results = {}
