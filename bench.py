@@ -881,6 +881,13 @@ def main() -> int:
             sec_fields["tpu_scale_rtf_median"] = ts.data.get("value_median")
             sec_fields["tpu_scale_per_hop_ms"] = ts.data.get("per_hop_ms")
             sec_fields["tpu_scale_silenced"] = ts.data.get("silenced")
+            if "device_rtf_est" in ts.data:
+                sec_fields["tpu_scale_device_per_hop_ms_est"] = ts.data.get(
+                    "device_per_hop_ms_est"
+                )
+                sec_fields["tpu_scale_device_rtf_est"] = ts.data.get(
+                    "device_rtf_est"
+                )
         else:
             notes["tpu_scale_error"] = ts.error or "tpu-scale child failed"
     fd = secondary.get("fd")
@@ -925,11 +932,33 @@ def main() -> int:
 
     if result is not None and result.get("device") == "tpu":
         result.update(notes)
+        # last-good accumulates the UNION of successfully measured
+        # headline fields across runs: a run where the tunnel wedged
+        # after the first child must not clobber the richer artifact of
+        # an earlier complete run (observed 2026-08-21: a north-star-only
+        # degraded run overwrote baseline+streams8+live). Error notes
+        # are NOT merged — only measurements.
         try:
+            merged = {}
+            try:
+                with open(_LAST_GOOD) as fh:
+                    merged = {
+                        k: v for k, v in json.load(fh).items()
+                        if not k.endswith("_error")
+                        and k not in ("tpu_probe", "tpu_probe_device")
+                    }
+            except (OSError, ValueError):
+                pass
+            merged.update(
+                {
+                    k: v for k, v in result.items()
+                    if not k.endswith("_error")
+                    and k not in ("tpu_probe", "tpu_probe_device")
+                }
+            )
+            merged["captured_unix"] = int(time.time())
             with open(_LAST_GOOD, "w") as fh:
-                json.dump(
-                    {"captured_unix": int(time.time()), **result}, fh
-                )
+                json.dump(merged, fh)
         except OSError:
             pass
         print(json.dumps(result))
