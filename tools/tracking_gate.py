@@ -53,7 +53,7 @@ def main():
 
     cases = [
         ("exact-eigh", dict(gevd_solver=GevdSolver.EIGH)),
-        ("trk blessed", {}),  # blessed production (r5: T16 + half-form)
+        ("trk blessed", {}),  # blessed production (r5: T32 + r2.5 + half-form)
         ("trk T32", dict(tracking_rebuild_period=32)),
         # Residual threshold from tools/resid_profile.py: stationary
         # band 0.6-1.4 (occasional 2.0), +20 dB step spikes to ~3.1.
