@@ -102,6 +102,58 @@ def _c0_matmul(x: jax.Array, k: int) -> jax.Array:
     return acc
 
 
+def _c0_fft(x: jax.Array, j: int) -> jax.Array:
+    """Same correlations via the half-spectrum DFT identity
+    ``sum_{t<K} x1[t] x2[t+l] = (1/N) sum_f a_f Re(conj(U_f) V_f e^{i2pi fl/N})``
+    (U = DFT of the K-truncated signal, V = DFT of the full buffer,
+    a_f the rfft fold weights) — every stage an MXU matmul against
+    trace-time DFT constants, no shift stack at all. With N = buf
+    length, lags 0..J-1 never wrap (t + l <= K-1 + J-1 = N-1), so the
+    circular correlation IS the linear one. U rides for free as
+    V minus the DFT of the (J-1)-sample tail.
+
+    Experimental alternative to the Pallas shift-stack kernel (its grid
+    step is VMEM-bandwidth-bound on the stack build; the matmuls here
+    are large and MXU-shaped but materialize (4, M, S, F) spectra in
+    HBM — see PERF.md for the measured trade)."""
+    p4, m, s, n = x.shape
+    k = n - j + 1
+    f = n // 2 + 1
+    t = np.arange(n)[:, None] * np.arange(f)[None, :]
+    ang = (2.0 * np.pi / n) * t
+    cos_m = jnp.asarray(np.cos(ang), x.dtype)  # (N, F)
+    sin_m = jnp.asarray(np.sin(ang), x.dtype)
+    alpha = np.full(f, 2.0)
+    alpha[0] = 1.0
+    if n % 2 == 0:
+        alpha[-1] = 1.0
+    lags = np.arange(j)[None, :] * np.arange(f)[:, None]
+    angl = (2.0 * np.pi / n) * lags
+    wc = jnp.asarray(np.cos(angl) * alpha[:, None] / n, x.dtype)  # (F, J)
+    ws = jnp.asarray(np.sin(angl) * alpha[:, None] / n, x.dtype)
+
+    pet = x.dtype
+    v_re = jnp.einsum("pmst,tf->pmsf", x, cos_m, preferred_element_type=pet)
+    v_im = -jnp.einsum("pmst,tf->pmsf", x, sin_m, preferred_element_type=pet)
+    tail = x[..., k:]  # (.., J-1) at positions k..n-1
+    u_re = v_re - jnp.einsum(
+        "pmsu,uf->pmsf", tail, cos_m[k:], preferred_element_type=pet
+    )
+    u_im = v_im + jnp.einsum(
+        "pmsu,uf->pmsf", tail, sin_m[k:], preferred_element_type=pet
+    )
+    # conj(U) V summed over mics: G = sum_m conj(U[s1]) V[s2] per bin.
+    g_re = jnp.einsum(
+        "pmaf,pmbf->pabf", u_re, v_re, preferred_element_type=pet
+    ) + jnp.einsum("pmaf,pmbf->pabf", u_im, v_im, preferred_element_type=pet)
+    g_im = jnp.einsum(
+        "pmaf,pmbf->pabf", u_re, v_im, preferred_element_type=pet
+    ) - jnp.einsum("pmaf,pmbf->pabf", u_im, v_re, preferred_element_type=pet)
+    return jnp.einsum(
+        "pabf,fl->pabl", g_re, wc, preferred_element_type=pet
+    ) - jnp.einsum("pabf,fl->pabl", g_im, ws, preferred_element_type=pet)
+
+
 def _compute_c0(buf: jax.Array, j: int, c0_method: str) -> jax.Array:
     """Dispatch the full-window correlation stage: (4, s1, s2, J)."""
     k = buf.shape[-1] - j + 1
@@ -130,6 +182,8 @@ def _compute_c0(buf: jax.Array, j: int, c0_method: str) -> jax.Array:
         return _c0_conv(buf, k)
     if c0_method == "matmul":
         return _c0_matmul(buf, k)
+    if c0_method == "fft":
+        return _c0_fft(buf, j)
     # An unknown method must not silently fall through to the slowest
     # variant (_c0_matmul materializes ~200 MB of shift stacks per
     # path-mic at north-star scale): a perf experiment's typo would

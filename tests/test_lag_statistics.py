@@ -30,7 +30,7 @@ def _reference_gram(buf, d, j, variant):
     return r_mats, r_vecs
 
 
-@pytest.mark.parametrize("c0_method", ["conv", "matmul"])
+@pytest.mark.parametrize("c0_method", ["conv", "matmul", "fft"])
 @pytest.mark.parametrize("s,j,m,n", [(3, 16, 2, 80), (4, 7, 3, 40), (2, 1, 2, 12)])
 def test_matches_dense_gram_float64(c0_method, s, j, m, n):
     rng = np.random.default_rng(11 + s + j)
@@ -221,6 +221,24 @@ def test_engine_hop_with_lag_statistics(small_scene, variant, assembly):
     np.testing.assert_allclose(
         outs["lag"], outs["base"], rtol=tol, atol=tol * scale
     )
+
+
+@pytest.mark.parametrize("n", [60, 61])  # odd AND even buffer lengths
+def test_fft_c0_matches_matmul(n):
+    """The half-spectrum DFT-matmul correlation (`c0_method='fft'`,
+    experimental — measured 2.2x SLOWER than the Pallas shift-stack
+    kernel on TPU, tools/c0_fft_lab.py, kept as engineering record) is
+    the same sums: exact in float64 including the even-length Nyquist
+    fold weight."""
+    from apvast_tpu.ops.lag_statistics import _c0_fft, _c0_matmul
+
+    rng = np.random.default_rng(17)
+    buf = jnp.asarray(rng.standard_normal((4, 3, 4, n)))
+    j = 9
+    k = n - j + 1
+    want = np.asarray(_c0_matmul(buf, k))
+    got = np.asarray(_c0_fft(buf, j))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
 def test_pallas_c0_matches_conv_interpret():
